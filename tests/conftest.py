@@ -6,16 +6,19 @@ real TPU chip is attached in CI.
 """
 import os
 
-# Must run before jax is imported anywhere. Hard-override: the ambient
-# environment pins JAX_PLATFORMS to the real TPU tunnel, which would make
-# every test compile over the wire.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The ambient environment pins JAX to a real TPU tunnel and pre-imports jax
+# from sitecustomize, so env vars alone are too late. jax.config.update
+# still works as long as no computation has run.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import importlib.util
 import pathlib
