@@ -57,6 +57,8 @@ class SplicePlan:
     n_image_blocks: int
     image_len: int
     region_len: int
+    region_blocks: np.ndarray = None  # int32 [num_regions], flat block id
+                                      # each <objs> pools from, in batch order
 
 
 def _flatten_media_blocks(media_kinds: Sequence[str], num_video_frames: int) -> int:
@@ -117,6 +119,7 @@ def plan_splice(
 
     cur_media = 0  # reference cur_image_idx, but over the *un-flattened* list
     frame_cursor: dict = {}  # media item -> next frame block for videos
+    region_blocks: List[int] = []
     for b in range(batch):
         row = list(input_ids[b])
         row_labels = list(labels[b]) if labels is not None else [IGNORE_INDEX] * len(row)
@@ -166,6 +169,7 @@ def plan_splice(
                     # Region features of the most recent image block
                     # (llava_arch.py:350-353: region_features[cur_image_idx-1])
                     block = last_img_block if last_img_block >= 0 else max(cur_media - 1, 0)
+                    region_blocks.append(block)
                     for r in range(region_len):
                         toks.append(0)
                         labs.append(IGNORE_INDEX)
@@ -203,6 +207,7 @@ def plan_splice(
         n_image_blocks=n_image_blocks,
         image_len=image_len,
         region_len=region_len,
+        region_blocks=np.asarray(region_blocks, dtype=np.int32),
     )
 
 

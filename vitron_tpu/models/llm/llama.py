@@ -66,18 +66,19 @@ class LlamaConfig:
 
 # Sharding rules: param-path substring -> PartitionSpec. Column-parallel
 # projections split the output dim over `tensor`; row-parallel the input dim.
-# `fsdp` shards the complementary dim ZeRO-3 style.
+# `fsdp` shards the complementary dim ZeRO-3 style. Stacked per-layer weights
+# are [L, in, out] -> the layer dim stays unsharded.
 LLAMA_SHARDING_RULES = (
     ("embed", P(TENSOR_AXIS, FSDP_AXIS)),
-    ("wq", P(FSDP_AXIS, TENSOR_AXIS)),
-    ("wk", P(FSDP_AXIS, TENSOR_AXIS)),
-    ("wv", P(FSDP_AXIS, TENSOR_AXIS)),
-    ("wo", P(TENSOR_AXIS, FSDP_AXIS)),
-    ("gate", P(FSDP_AXIS, TENSOR_AXIS)),
-    ("up", P(FSDP_AXIS, TENSOR_AXIS)),
-    ("down", P(TENSOR_AXIS, FSDP_AXIS)),
+    ("wq", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    ("wk", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    ("wv", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    ("wo", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    ("gate", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    ("up", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    ("down", P(None, TENSOR_AXIS, FSDP_AXIS)),
     ("lm_head", P(FSDP_AXIS, TENSOR_AXIS)),
-    ("norm", P(None)),
+    ("norm", P()),
 )
 
 
@@ -141,12 +142,15 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 class KVCache:
     """Preallocated per-layer KV cache, written with dynamic_update_slice.
 
-    k/v: [L, B, max_len, num_kv_heads, head_dim]; index: scalar fill level.
+    k/v: [L, B, max_len, num_kv_heads, head_dim]; index: scalar fill level;
+    valid: [B, max_len] marks slots holding real (non-pad) tokens so
+    right-padded batch rows never attend each other's padding.
     """
 
     k: jax.Array
     v: jax.Array
     index: jax.Array  # int32 scalar
+    valid: jax.Array  # bool [B, max_len]
 
     @staticmethod
     def create(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None) -> "KVCache":
@@ -156,10 +160,11 @@ class KVCache:
             k=jnp.zeros(shape, cfg.compute_dtype),
             v=jnp.zeros(shape, cfg.compute_dtype),
             index=jnp.zeros((), jnp.int32),
+            valid=jnp.zeros((batch, max_len), bool),
         )
 
 
-jax.tree_util.register_dataclass(KVCache, ["k", "v", "index"], [])
+jax.tree_util.register_dataclass(KVCache, ["k", "v", "index", "valid"], [])
 
 
 def _attend_xla(q, k, v, mask, scale):
@@ -220,12 +225,13 @@ def forward(
         t_positions = None
     else:
         t = cache.k.shape[2]
-        # keys valid if slot < index + s (this chunk's rows included)
+        new_valid = jax.lax.dynamic_update_slice(
+            cache.valid, attn_mask, (0, cache.index))
+        # slot-causal (query at slot index+i sees slots <= index+i) AND the
+        # key slot must hold a real token of the same row
         key_pos = jnp.arange(t)[None, None, None, :]
         q_pos = cache.index + jnp.arange(s)[None, None, :, None]
-        mask = (key_pos <= q_pos) & (key_pos < cache.index + s)
-        mask = jnp.broadcast_to(mask, (b, 1, s, t))
-        # also mask padded queries' keys? decode uses s=1 real token.
+        mask = (key_pos <= q_pos) & new_valid[:, None, None, :]
 
     def layer(x, lp):
         xn = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
@@ -271,7 +277,7 @@ def forward(
         if cfg.remat:
             body = jax.checkpoint(body)
         x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
-        new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)
+        new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s, valid=new_valid)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)

@@ -1,0 +1,189 @@
+"""Autoregressive generation engine.
+
+Replaces the reference's HF `model.generate(...)` hot loop
+(reference: app.py:562-571, inference_image.py:52-61) with:
+
+- one jitted multimodal **prefill** over the spliced embeddings,
+- one jitted single-token **decode step** reused for every new token
+  (static shapes: the preallocated KV cache absorbs sequence growth),
+- device-side temperature/top-p sampling (reference sampling params,
+  app.py:566-568),
+- host-side stop handling: EOS ids + `KeywordStopper` string matching
+  (reference mm_utils.py:146-177), checked every `stop_check_every` steps so
+  the device never stalls on per-token host sync,
+- `generate_scan`: a fully `lax.scan`-compiled fixed-length variant for
+  benchmarking (zero host round-trips).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitron_tpu.models import vitron_model
+from vitron_tpu.models.llm import llama
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Reference defaults: app.py:564-571 (temperature slider, top_p, 1024)."""
+
+    temperature: float = 0.2
+    top_p: float = 0.7
+    max_new_tokens: int = 1024
+    greedy: bool = False
+    eos_ids: tuple = (2,)
+
+
+def sample_token(rng: jax.Array, logits: jax.Array, temperature: float,
+                 top_p: float, greedy: bool) -> jax.Array:
+    """logits: [B, V] -> token ids [B]. Nucleus (top-p) + temperature."""
+    if greedy or temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / jnp.asarray(temperature, logits.dtype)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+class Generator:
+    """Holds jitted prefill/decode programs for one (config, batch, lengths)
+    bucket; call `generate` per request."""
+
+    def __init__(self, params: Dict[str, Any], cfg: vitron_model.VitronConfig,
+                 tokenizer=None, donate_cache: bool = True):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+
+        def _prefill(params, **kw):
+            return vitron_model.forward(params, cfg, **kw)
+
+        self._prefill = jax.jit(_prefill)
+
+        def _step(params, token, pos, cache, rng, temperature, top_p, greedy):
+            logits, cache = vitron_model.decode_step(params, cfg, token, pos, cache)
+            nxt = sample_token(rng, logits[:, -1], temperature, top_p, greedy)
+            return nxt[:, None], cache
+
+        self._decode = jax.jit(_step, static_argnames=("temperature", "top_p", "greedy"),
+                               donate_argnums=(3,) if donate_cache else ())
+
+    def generate(
+        self,
+        plan,
+        images: Optional[jax.Array] = None,
+        videos: Optional[jax.Array] = None,
+        block_perm: Optional[np.ndarray] = None,
+        region_boxes: Optional[np.ndarray] = None,
+        sampling: SamplingConfig = SamplingConfig(),
+        rng: Optional[jax.Array] = None,
+        stopper=None,
+        stop_check_every: int = 8,
+        max_cache_len: Optional[int] = None,
+    ) -> List[List[int]]:
+        """Run prefill + decode for one planned batch; returns new token ids
+        per row (stop sequences trimmed by the caller/stopper semantics)."""
+        cfg, params = self.cfg, self.params
+        b, pad_len = plan.token_ids.shape
+        max_len = max_cache_len or (pad_len + sampling.max_new_tokens)
+        cache = llama.KVCache.create(cfg.llm, b, max_len=max_len)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        kwargs: Dict[str, Any] = {}
+        if plan.region_blocks is not None and len(plan.region_blocks) and region_boxes is not None:
+            kwargs["region_boxes"] = jnp.asarray(region_boxes, jnp.float32)
+            kwargs["region_block_idx"] = jnp.asarray(plan.region_blocks)
+        if block_perm is not None:
+            kwargs["block_perm"] = jnp.asarray(block_perm)
+
+        logits, cache = self._prefill(
+            params,
+            plan_token_ids=jnp.asarray(plan.token_ids),
+            plan_media_idx=jnp.asarray(plan.media_idx),
+            plan_use_media=jnp.asarray(plan.use_media),
+            positions=jnp.asarray(plan.position_ids),
+            attn_mask=jnp.asarray(plan.attention_mask),
+            images=images,
+            videos=videos,
+            cache=cache,
+            **kwargs,
+        )
+        # next-token logits live at each row's last REAL position
+        last = jnp.asarray(plan.seq_lens - 1)
+        next_logits = jnp.take_along_axis(
+            logits, last[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        rng, k = jax.random.split(rng)
+        token = sample_token(k, next_logits, sampling.temperature,
+                             sampling.top_p, sampling.greedy)[:, None]
+
+        seq_lens = np.asarray(plan.seq_lens).copy()
+        out_tokens: List[List[int]] = [[] for _ in range(b)]
+        done = np.zeros(b, bool)
+        pos = jnp.asarray(seq_lens)[:, None]
+
+        for step in range(sampling.max_new_tokens):
+            tok_host = np.asarray(token[:, 0])
+            for i in range(b):
+                if not done[i]:
+                    out_tokens[i].append(int(tok_host[i]))
+                    if int(tok_host[i]) in sampling.eos_ids:
+                        done[i] = True
+            if done.all():
+                break
+            if stopper is not None and (step + 1) % stop_check_every == 0:
+                for i in range(b):
+                    if not done[i] and stopper.should_stop(out_tokens[i]):
+                        done[i] = True
+                if done.all():
+                    break
+            if step == sampling.max_new_tokens - 1:
+                break
+            rng, k = jax.random.split(rng)
+            token, cache = self._decode(
+                params, token, pos, cache, k,
+                sampling.temperature, sampling.top_p, sampling.greedy)
+            pos = pos + 1
+        return out_tokens
+
+
+def generate_scan(params, cfg: vitron_model.VitronConfig, plan_arrays,
+                  n_new: int, rng: jax.Array, images=None, videos=None,
+                  temperature: float = 0.0, top_p: float = 1.0,
+                  max_cache_len: Optional[int] = None):
+    """Fully-compiled fixed-length generation (benchmark path).
+
+    plan_arrays: (token_ids, media_idx, use_media, positions, attn_mask,
+    seq_lens) device arrays. Returns [B, n_new] token ids.
+    """
+    token_ids, media_idx, use_media, positions, attn_mask, seq_lens = plan_arrays
+    b, pad_len = token_ids.shape
+    max_len = max_cache_len or (pad_len + n_new)
+    cache = llama.KVCache.create(cfg.llm, b, max_len=max_len)
+    logits, cache = vitron_model.forward(
+        params, cfg, token_ids, media_idx, use_media, positions, attn_mask,
+        images=images, videos=videos, cache=cache)
+    last = (seq_lens - 1).astype(jnp.int32)
+    next_logits = jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0]
+    rng, k = jax.random.split(rng)
+    token = sample_token(k, next_logits, temperature, top_p, temperature == 0.0)[:, None]
+
+    def step(carry, k):
+        token, pos, cache = carry
+        logits, cache = vitron_model.decode_step(params, cfg, token, pos, cache)
+        nxt = sample_token(k, logits[:, -1], temperature, top_p, temperature == 0.0)[:, None]
+        return (nxt, pos + 1, cache), token[:, 0]
+
+    pos = seq_lens.astype(jnp.int32)[:, None]
+    keys = jax.random.split(rng, n_new)
+    (_, _, cache), toks = jax.lax.scan(step, (token, pos, cache), keys)
+    return toks.T  # [B, n_new]
