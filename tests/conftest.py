@@ -64,3 +64,35 @@ def load_reference_module(relpath: str, name: str):
 @pytest.fixture(scope="session")
 def ref_conversation():
     return load_reference_module("vitron/conversation.py", "ref_conversation")
+
+
+def load_reference_package_module(dotted: str):
+    """Import a module deep inside the reference tree by its real dotted path
+    (e.g. 'modules.GLIGEN.demo.gligen.ldm.modules.attention'), fabricating
+    ancestor packages WITHOUT executing their __init__.py (several vendored
+    __init__ files are broken or pull unavailable deps)."""
+    import importlib.util
+    import sys
+    import types
+
+    parts = dotted.split(".")
+    for i in range(1, len(parts)):
+        name = ".".join(parts[:i])
+        if name in sys.modules:
+            continue
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [str(REFERENCE_ROOT / "/".join(parts[:i]))]
+        sys.modules[name] = pkg
+    path = REFERENCE_ROOT / ("/".join(parts) + ".py")
+    if not path.exists():
+        path = REFERENCE_ROOT / "/".join(parts) / "__init__.py"
+    if not path.exists():
+        pytest.skip(f"reference module {dotted} not found")
+    spec = importlib.util.spec_from_file_location(dotted, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    try:
+        spec.loader.exec_module(mod)
+    except ImportError as e:
+        pytest.skip(f"reference module {dotted} needs unavailable dep: {e}")
+    return mod

@@ -1,0 +1,95 @@
+"""Flash attention kernel parity vs the jnp reference (interpret mode).
+
+Mirrors the reference repo's kernel-testing pattern: the one custom CUDA op
+ships a pure-framework reference and an allclose + grad test
+(reference: modules/SEEM/.../ops/test.py:34-116).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitron_tpu.kernels.flash_attention import flash_attention, reference_attention
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("s,t,n,kv,d", [
+    (128, 128, 4, 4, 32),     # square causal, MHA
+    (100, 100, 4, 4, 32),     # non-multiple of block
+    (64, 256, 8, 2, 32),      # GQA + chunk with offset
+])
+def test_forward_parity(s, t, n, kv, d):
+    b = 2
+    q = _rand((b, s, n, d), 0)
+    k = _rand((b, t, kv, d), 1)
+    v = _rand((b, t, kv, d), 2)
+    q_offset = t - s
+    kv_mask = jnp.asarray(np.random.RandomState(3).rand(b, t) > 0.2)
+    # ensure at least the first key is visible so no q row is fully masked
+    kv_mask = kv_mask.at[:, 0].set(True)
+    want = reference_attention(q, k, v, kv_mask=kv_mask, q_offset=q_offset)
+    got = flash_attention(q, k, v, kv_mask=kv_mask, q_offset=q_offset,
+                          block_q=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_no_mask_defaults():
+    q = _rand((1, 64, 2, 16), 0)
+    k = _rand((1, 64, 2, 16), 1)
+    v = _rand((1, 64, 2, 16), 2)
+    want = reference_attention(q, k, v, q_offset=0)
+    got = flash_attention(q, k, v, q_offset=0, block_q=16, block_k=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_traced_q_offset():
+    """q_offset arrives as a traced scalar in the cached-decode path."""
+    q = _rand((1, 32, 2, 16), 0)
+    k = _rand((1, 128, 2, 16), 1)
+    v = _rand((1, 128, 2, 16), 2)
+    kv_mask = jnp.ones((1, 128), bool)
+
+    def f(off):
+        return flash_attention(q, k, v, kv_mask=kv_mask, q_offset=off,
+                               block_q=16, block_k=32, interpret=True)
+
+    got = jax.jit(f)(jnp.asarray(64, jnp.int32))
+    want = reference_attention(q, k, v, kv_mask=kv_mask, q_offset=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_grad_matches_reference():
+    q = _rand((1, 32, 2, 16), 0)
+    k = _rand((1, 32, 2, 16), 1)
+    v = _rand((1, 32, 2, 16), 2)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, q_offset=0, block_q=16, block_k=16)
+        return jnp.sum(o * o)
+
+    def loss_ref(q, k, v):
+        o = reference_attention(q, k, v, q_offset=0)
+        return jnp.sum(o * o)
+
+    # custom_vjp backward is defined via the reference; forward here uses the
+    # non-interpret path only for tracing the vjp structure — evaluate grads
+    # against reference grads for identical values.
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    # grad through the flash custom_vjp: forward runs the kernel; on CPU we
+    # must run in interpret mode, so check the interpret forward + manual vjp
+    out, vjp = jax.vjp(
+        lambda q_, k_, v_: flash_attention(
+            q_, k_, v_, q_offset=0, block_q=16, block_k=16, interpret=True),
+        q, k, v)
+    # interpret path bypasses custom_vjp (pure forward); compare reference vjp
+    want_out, ref_vjp = jax.vjp(
+        lambda q_, k_, v_: reference_attention(q_, k_, v_, q_offset=0), q, k, v)
+    g = jnp.ones_like(out)
+    got_grads = vjp(g)
+    want_grads = ref_vjp(g)
+    for a, b in zip(got_grads, want_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)

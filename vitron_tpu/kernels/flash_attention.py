@@ -1,0 +1,221 @@
+"""Pallas TPU flash attention (prefill + cached-chunk).
+
+Replaces the reference's CUDA flash-attn 2.5.6 monkey patch
+(reference: vitron/train/llama_flash_attn_monkey_patch.py:16-115) and the
+Triton MPT kernel (vitron/model/language_model/mpt/flash_attn_triton.py).
+
+Semantics: causal attention in *key-slot space* with an optional query
+offset and a per-slot validity mask:
+
+    logit[b, n, i, j] = q.k * scale   where  (q_offset + i) >= j
+                                      and    kv_mask[b, j]
+
+which covers both the uncached prefill (q_offset=0, kv_mask = token mask)
+and chunked/cached decode against a preallocated KV cache (q_offset =
+cache.index, kv_mask = cache validity, arbitrary non-prefix patterns).
+
+Kernel structure: grid (B, num_heads, q_blocks, k_blocks); the innermost
+k-block axis iterates sequentially per (b, n, iq), carrying the running
+max / sum / accumulator in VMEM scratch (online softmax, fp32). GQA folds
+`groups` query heads onto each KV head via the k/v index maps. Fully-masked
+k blocks are skipped under `pl.when`.
+
+Backward: jax.custom_vjp with the exact jnp reference as the backward
+program — XLA fuses it well, and training throughput is dominated by the
+projections, not attention, at the reference's 2-3k context.
+
+Per-kernel jnp reference: `reference_attention` (tested for parity and
+grads, tests/test_flash_attention.py), the pattern the reference repo uses
+for its one custom CUDA op (SEEM ms_deform_attn ops/test.py:34-92).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def reference_attention(q, k, v, kv_mask=None, q_offset=None, scale=None):
+    """Pure-jnp reference. q: [B,S,N,D]; k/v: [B,T,K,D]; kv_mask: [B,T] bool;
+    q_offset: scalar int (query position of q[0] in key-slot space; default
+    T - S so the last query aligns with the last key)."""
+    b, s, n, d = q.shape
+    t, kv_heads = k.shape[1], k.shape[2]
+    groups = n // kv_heads
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    if q_offset is None:
+        q_offset = t - s
+    qq = q.reshape(b, s, kv_heads, groups, d)
+    logits = jnp.einsum("bskgd,btkd->bkgst", qq, k).astype(jnp.float32) * scale
+    q_pos = q_offset + jnp.arange(s)[:, None]
+    k_pos = jnp.arange(t)[None, :]
+    mask = q_pos >= k_pos  # [s, t]
+    mask = mask[None, None, None]
+    if kv_mask is not None:
+        mask = mask & kv_mask[:, None, None, None, :]
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
+    return out.reshape(b, s, n, d)
+
+
+def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, scale, block_q, block_k,
+                  kv_heads, groups):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+    iq = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_offset = off_ref[0]
+    q_start = q_offset + iq * block_q
+    k_start = ik * block_k
+    # skip k blocks fully in the causal future
+    visible = q_start + block_q - 1 >= k_start
+
+    @pl.when(visible)
+    def _compute():
+        # inputs stay bf16 on the MXU; accumulation is fp32
+        q = q_ref[0, 0]                                 # [bq, D]
+        k = k_ref[0, 0]                                 # [bk, D]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bq, bk]
+        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = (q_pos >= k_pos) & (mask_ref[0] != 0)[None, :]
+        logits = jnp.where(mask, logits, NEG_INF)
+
+        m_prev = m_scr[:]                               # [bq, 1]
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be exp(0)=1
+        p = jnp.exp(jnp.where(mask, logits - m_new, NEG_INF))  # [bq, bk]
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v_blk = v_ref[0, 0]                             # [bk, D]
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, kv_mask, q_offset, scale,
+                   block_q, block_k, interpret):
+    b, s, n, d = q.shape
+    t, kv_heads = k.shape[1], k.shape[2]
+    groups = n // kv_heads
+    block_q = min(block_q, s)
+    block_k = min(block_k, t)
+
+    # pad seq dims to block multiples
+    s_pad = -s % block_q
+    t_pad = -t % block_k
+    qt = jnp.moveaxis(q, 2, 1)  # [B, N, S, D]
+    kt = jnp.moveaxis(k, 2, 1)  # [B, K, T, D]
+    vt = jnp.moveaxis(v, 2, 1)
+    if s_pad:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
+    if t_pad:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
+    mask_i32 = (kv_mask if kv_mask is not None else jnp.ones((b, t), bool)).astype(jnp.int32)
+    if t_pad:
+        mask_i32 = jnp.pad(mask_i32, ((0, 0), (0, t_pad)))
+    sq, tk = s + s_pad, t + t_pad
+    nq, nk = sq // block_q, tk // block_k
+
+    grid = (b, n, nq, nk)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, block_q=block_q, block_k=block_k,
+        kv_heads=kv_heads, groups=groups)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, n_, iq, ik, *_: (b_, n_, iq, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, n_, iq, ik, *_: (b_, n_ // groups, ik, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, n_, iq, ik, *_: (b_, n_ // groups, ik, 0)),
+                pl.BlockSpec((1, block_k),
+                             lambda b_, n_, iq, ik, *_: (b_, ik)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda b_, n_, iq, ik, *_: (b_, n_, iq, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray([q_offset], jnp.int32).reshape(1), qt, kt, vt, mask_i32)
+
+    out = jnp.moveaxis(out, 1, 2)
+    return out[:, :s]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, k, v, kv_mask, q_offset, scale, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, kv_mask, q_offset, scale,
+                          block_q, block_k, interpret=interpret)
+
+
+def _flash_fwd(q, k, v, kv_mask, q_offset, scale, block_q, block_k, interpret):
+    out = _flash(q, k, v, kv_mask, q_offset, scale, block_q, block_k, interpret)
+    return out, (q, k, v, kv_mask, q_offset)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v, kv_mask, q_offset = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: reference_attention(
+            q_, k_, v_, kv_mask=kv_mask, q_offset=q_offset, scale=scale),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,                     # [B, S, N, D]
+    k: jax.Array,                     # [B, T, KV, D]
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,   # [B, T] bool
+    q_offset=0,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal flash attention; see module docstring for mask semantics."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    scale = float(scale)
+    return _flash(q, k, v, kv_mask, q_offset, scale, block_q, block_k, interpret)

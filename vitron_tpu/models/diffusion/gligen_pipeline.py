@@ -1,0 +1,207 @@
+"""GLIGEN grounded text-to-image generation & inpainting pipeline.
+
+TPU-native rebuild of the reference task runner (reference:
+modules/GLIGEN/demo/gligen/task_grounded_generation.py:138-294 and the
+Vitron glue app.py:89-212):
+
+- grounding instruction -> per-phrase CLIP pooled text features padded to
+  max_objs=30 slots (fire_clip, :138-181),
+- prompt/negative-prompt contexts from the CLIP text encoder,
+- PLMS 50 steps with the gated-attention alpha schedule; classifier-free
+  guidance batched cond+uncond in ONE UNet call per step (the reference
+  runs two sequential forwards),
+- inpainting: VAE-encode the image, keep-mask from boxes at latent
+  resolution, per-step noised composite, mask+masked-latent as 5 extra
+  UNet input channels (:216-240),
+- VAE decode to pixels.
+
+Weights stay resident; the reference reloads every checkpoint per request
+(app.py:94-103) — that alone is most of the reference's request latency.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitron_tpu.models.diffusion import clip_text, samplers, unet2d, vae
+from vitron_tpu.models.diffusion.vae import SD_SCALE_FACTOR
+
+
+@dataclasses.dataclass(frozen=True)
+class GligenConfig:
+    unet: unet2d.UNetConfig = dataclasses.field(default_factory=unet2d.UNetConfig.sd_v1)
+    vae: vae.VAEConfig = dataclasses.field(default_factory=vae.VAEConfig.sd)
+    text: clip_text.TextConfig = dataclasses.field(default_factory=clip_text.TextConfig.clip_l)
+    image_size: int = 512
+    max_objs: int = 30
+    steps: int = 50
+
+    @property
+    def latent_size(self) -> int:
+        # one 2x downsample per VAE level transition (8x for SD's 4 levels)
+        return self.image_size // (2 ** (len(self.vae.channel_mult) - 1))
+
+    @staticmethod
+    def tiny(**kw) -> "GligenConfig":
+        base = dict(
+            unet=unet2d.UNetConfig.tiny(),
+            vae=vae.VAEConfig.tiny(),
+            text=clip_text.TextConfig.tiny(hidden_size=16, num_heads=2,
+                                           intermediate_size=32),
+            image_size=32, max_objs=4, steps=4)
+        base.update(kw)
+        return GligenConfig(**base)
+
+
+def pack_grounding(
+    boxes: Sequence[Sequence[float]],     # [N, 4] normalized xyxy
+    phrase_features: np.ndarray,          # [N, context_dim] CLIP pooled feats
+    max_objs: int,
+    context_dim: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """fire_clip's 30-slot padding (task_grounded_generation.py:152-181)."""
+    out_boxes = np.zeros((max_objs, 4), np.float32)
+    out_masks = np.zeros((max_objs,), np.float32)
+    out_text = np.zeros((max_objs, context_dim), np.float32)
+    n = min(len(boxes), max_objs)
+    for i in range(n):
+        out_boxes[i] = np.asarray(boxes[i], np.float32)
+        out_masks[i] = 1.0
+        out_text[i] = phrase_features[i]
+    return out_boxes, out_masks, out_text
+
+
+def keep_mask_from_boxes(boxes: Sequence[Sequence[float]], size: int) -> np.ndarray:
+    """draw_masks_from_boxes (evaluator.py:21-31): 1 = keep, 0 inside boxes.
+    Note the reference's y-then-x indexing of normalized coords."""
+    m = np.ones((size, size), np.float32)
+    for bx in boxes:
+        x0, x1 = bx[0] * size, bx[2] * size
+        y0, y1 = bx[1] * size, bx[3] * size
+        m[int(y0):int(y1), int(x0):int(x1)] = 0.0
+    return m
+
+
+class GligenPipeline:
+    """Holds resident params + jitted samplers for generation / inpainting."""
+
+    def __init__(self, cfg: GligenConfig, unet_params, vae_params, text_params,
+                 inpaint_unet_params=None, tokenizer=None):
+        self.cfg = cfg
+        self.unet_params = unet_params
+        self.inpaint_unet_params = inpaint_unet_params
+        self.vae_params = vae_params
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+
+    # ---------------------------------------------------------- text utils
+
+    def encode_prompt(self, token_ids: jax.Array) -> jax.Array:
+        """[B, 77] -> [B, 77, 768] (FrozenCLIPEmbedder last hidden)."""
+        return clip_text.encode(self.text_params, self.cfg.text, token_ids)
+
+    def pooled_text_features(self, token_ids: jax.Array) -> jax.Array:
+        """Per-phrase pooled features (text_model_output.pooler_output,
+        task_grounded_generation.py:123): final-LN hidden at the EOS
+        (=argmax token id) position."""
+        hidden = clip_text.encode(self.text_params, self.cfg.text, token_ids)
+        eos = jnp.argmax(token_ids, axis=-1)
+        return jnp.take_along_axis(hidden, eos[:, None, None], axis=1)[:, 0]
+
+    def tokenize(self, texts: List[str]) -> jax.Array:
+        tok = self.tokenizer(texts, padding="max_length",
+                             max_length=self.cfg.text.max_length,
+                             truncation=True, return_tensors="np")
+        return jnp.asarray(tok["input_ids"])
+
+    # ---------------------------------------------------------- sampling
+
+    def _eps_fn(self, params, context, uc_context, boxes, masks, text_emb,
+                guidance_scale, extra_channels=None):
+        cfg = self.cfg
+        objs = unet2d.grounding_tokens(params, boxes, masks, text_emb)
+        objs2 = jnp.concatenate([objs, objs], axis=0)
+        ctx2 = jnp.concatenate([context, uc_context], axis=0)
+
+        def eps(x, t, gate):
+            x_in = x
+            if extra_channels is not None:
+                x_in = jnp.concatenate(
+                    [x, jnp.broadcast_to(extra_channels, x.shape[:-1] + (extra_channels.shape[-1],))],
+                    axis=-1)
+            if guidance_scale == 1.0:
+                tt = jnp.broadcast_to(jnp.asarray(t), (x.shape[0],))
+                return unet2d.forward(params, cfg.unet, x_in, tt, context, objs, gate)
+            xx = jnp.concatenate([x_in, x_in], axis=0)
+            tt = jnp.broadcast_to(jnp.asarray(t), (xx.shape[0],))
+            out = unet2d.forward(params, cfg.unet, xx, tt, ctx2, objs2, gate)
+            e_c, e_uc = jnp.split(out, 2, axis=0)
+            return e_uc + guidance_scale * (e_c - e_uc)
+
+        return eps
+
+    def generate(
+        self,
+        prompt: str,
+        boxes: Sequence[Sequence[float]],
+        phrases: Sequence[str],
+        negative_prompt: str = "",
+        guidance_scale: float = 7.5,
+        alpha_type: Sequence[float] = (0.3, 0.0, 0.7),
+        rng: Optional[jax.Array] = None,
+        steps: Optional[int] = None,
+        inpaint_image: Optional[jax.Array] = None,   # [H, W, 3] in [0, 255]
+        inpaint_keep_mask: Optional[np.ndarray] = None,
+    ) -> jax.Array:
+        """-> [H, W, 3] uint8 image. Mirrors grounded_generation_box
+        (task_grounded_generation.py:185-294); defaults match the Vitron
+        glue (alpha_type and guidance, app.py:100-106,189)."""
+        cfg = self.cfg
+        steps = steps or cfg.steps
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        is_inpaint = inpaint_image is not None
+
+        context = self.encode_prompt(self.tokenize([prompt]))
+        # inpainting uses context as uc (task_grounded_generation.py:258-261)
+        uc_text = prompt if is_inpaint else negative_prompt
+        uc = self.encode_prompt(self.tokenize([uc_text]))
+        pooled = self.pooled_text_features(self.tokenize(list(phrases))) if phrases else \
+            jnp.zeros((0, cfg.text.hidden_size))
+        b_, m_, t_ = pack_grounding(boxes, np.asarray(pooled), cfg.max_objs,
+                                    cfg.text.hidden_size)
+        gb = jnp.asarray(b_)[None]
+        gm = jnp.asarray(m_)[None]
+        gt = jnp.asarray(t_)[None]
+
+        sched = samplers.DiffusionSchedule.create("linear", 1000, 0.00085, 0.012)
+        gates = samplers.alpha_generator(steps, tuple(alpha_type))
+
+        params = self.unet_params
+        extra = None
+        mask_blend = None
+        if is_inpaint:
+            params = self.inpaint_unet_params if self.inpaint_unet_params is not None else params
+            img = (inpaint_image.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            mean, _ = vae.encode(self.vae_params, cfg.vae, img[None])
+            x0 = mean * SD_SCALE_FACTOR
+            keep = inpaint_keep_mask if inpaint_keep_mask is not None else \
+                keep_mask_from_boxes(boxes, cfg.latent_size)
+            keep = jnp.asarray(keep)[None, :, :, None]
+            masked_x0 = x0 * keep
+            extra = jnp.concatenate([masked_x0, keep], axis=-1)[0]
+            mask_blend = (keep, x0)
+
+        eps = self._eps_fn(params, context, uc, gb, gm, gt, guidance_scale,
+                           extra_channels=extra)
+        rng, k = jax.random.split(rng)
+        x = jax.random.normal(k, (1, cfg.latent_size, cfg.latent_size,
+                                  cfg.unet.out_channels), jnp.float32)
+        x = samplers.plms_sample(eps, x, sched, steps, rng=rng,
+                                 gate_alphas=gates, mask_blend=mask_blend)
+        img = vae.decode(self.vae_params, cfg.vae, x / SD_SCALE_FACTOR)[0]
+        img = jnp.clip(img, -1, 1) * 0.5 + 0.5
+        return (img * 255).astype(jnp.uint8)

@@ -1,0 +1,270 @@
+"""Shared latent-diffusion building blocks.
+
+JAX re-design of the GLIGEN/SD module zoo (reference:
+modules/GLIGEN/demo/gligen/ldm/modules/attention.py and
+diffusionmodules/{openaimodel,positionnet,util}.py). Functional params-in /
+activations-out; convs run NHWC (TPU-native layout); attention uses one
+batched einsum per block with fp32 softmax.
+
+Includes GLIGEN's novelty, `gated_self_attention`
+(attention.py:285-314): visual tokens concatenated with grounding tokens,
+self-attended, added back through a tanh(alpha) gate that an external
+scheduler anneals over sampling steps (task_grounded_generation.py:23-55).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------- primitives
+
+def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               groups: int = 32, eps: float = 1e-6) -> jax.Array:
+    """x: [..., H, W, C] (or [..., N, C]); normalize over spatial + group."""
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    spatial = int(np.prod(orig_shape[1:-1]))
+    xg = x.reshape(orig_shape[0], spatial, groups, c // groups).astype(jnp.float32)
+    mu = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xg = (xg - mu) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(orig_shape).astype(x.dtype)
+    return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def layer_norm(x, p, eps: float = 1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (out * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
+           stride: int = 1, padding: int = 0) -> jax.Array:
+    """x: [B, H, W, C_in]; w: [kh, kw, C_in, C_out] (HWIO)."""
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride),
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """[B] -> [B, dim]; cos-first ordering (reference util.py:160-180)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def fourier_embed(x: jax.Array, num_freqs: int = 8, temperature: float = 100.0) -> jax.Array:
+    """GLIGEN FourierEmbedder (util.py:12-26): interleave sin/cos per freq
+    band, concatenated along the last axis. x: [..., D] -> [..., 2*F*D]."""
+    bands = temperature ** (jnp.arange(num_freqs, dtype=jnp.float32) / num_freqs)
+    out = []
+    for i in range(num_freqs):
+        out.append(jnp.sin(bands[i] * x))
+        out.append(jnp.cos(bands[i] * x))
+    return jnp.concatenate(out, axis=-1)
+
+
+# ---------------------------------------------------------------- attention
+
+def _mha(q, k, v, heads: int, scale: float) -> jax.Array:
+    """q: [B, N, H*C]; k/v: [B, M, H*C] -> [B, N, H*C], fp32 softmax."""
+    b, n, hc = q.shape
+    m = k.shape[1]
+    c = hc // heads
+    q = q.reshape(b, n, heads, c)
+    k = k.reshape(b, m, heads, c)
+    v = v.reshape(b, m, heads, c)
+    sim = jnp.einsum("bnhc,bmhc->bhnm", q, k).astype(jnp.float32) * scale
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bmhc->bnhc", attn, v)
+    return out.reshape(b, n, hc)
+
+
+def cross_attention(p: Dict[str, Any], x, context, heads: int) -> jax.Array:
+    """Reference CrossAttention (attention.py:109-190): q from x, k/v from
+    context, no biases; out projection with bias."""
+    c = p["to_q"].shape[1] // heads
+    scale = c ** -0.5
+    q = x @ p["to_q"]
+    k = context @ p["to_k"]
+    v = context @ p["to_v"]
+    out = _mha(q, k, v, heads, scale)
+    return out @ p["out_w"] + p["out_b"]
+
+
+def self_attention(p: Dict[str, Any], x, heads: int) -> jax.Array:
+    return cross_attention(p, x, x, heads)
+
+
+def geglu_ff(p: Dict[str, Any], x) -> jax.Array:
+    """FeedForward with GEGLU (attention.py:44-71)."""
+    h = x @ p["proj_w"] + p["proj_b"]
+    a, gate = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.gelu(gate, approximate=False)
+    return h @ p["out_w"] + p["out_b"]
+
+
+def gated_self_attention(p: Dict[str, Any], x, objs, heads: int,
+                         gate_scale=1.0) -> jax.Array:
+    """GatedSelfAttentionDense (attention.py:285-314): concat visual+objs,
+    self-attend, keep the visual slice, add through tanh(alpha) gates.
+    `gate_scale` is the externally-scheduled alpha (set_alpha_scale)."""
+    n_visual = x.shape[1]
+    objs_p = objs @ p["linear_w"] + p["linear_b"]
+    cat = jnp.concatenate([x, objs_p], axis=1)
+    attn_out = self_attention(p["attn"], layer_norm(cat, p["norm1"]), heads)
+    x = x + gate_scale * jnp.tanh(p["alpha_attn"]) * attn_out[:, :n_visual]
+    x = x + gate_scale * jnp.tanh(p["alpha_dense"]) * geglu_ff(
+        p["ff"], layer_norm(x, p["norm2"]))
+    return x
+
+
+def basic_transformer_block(p: Dict[str, Any], x, context, objs, heads: int,
+                            gate_scale=1.0) -> jax.Array:
+    """BasicTransformerBlock (attention.py:318-349): self-attn -> GLIGEN
+    fuser -> cross-attn -> GEGLU FF, pre-LN residuals."""
+    x = self_attention(p["attn1"], layer_norm(x, p["norm1"]), heads) + x
+    if "fuser" in p and objs is not None:
+        x = gated_self_attention(p["fuser"], x, objs, heads, gate_scale)
+    x = cross_attention(p["attn2"], layer_norm(x, p["norm2"]), context, heads) + x
+    x = geglu_ff(p["ff"], layer_norm(x, p["norm3"])) + x
+    return x
+
+
+def spatial_transformer(p: Dict[str, Any], x, context, objs, heads: int,
+                        gate_scale=1.0) -> jax.Array:
+    """SpatialTransformer (attention.py:352-386): GN -> 1x1 proj_in ->
+    transformer blocks over (h w) tokens -> 1x1 proj_out + residual.
+    x: [B, H, W, C]."""
+    b, h, w, c = x.shape
+    x_in = x
+    x = group_norm(x, p["norm_scale"], p["norm_bias"])
+    x = conv2d(x, p["proj_in_w"], p["proj_in_b"])
+    x = x.reshape(b, h * w, -1)
+    for blk in p["blocks"]:
+        x = basic_transformer_block(blk, x, context, objs, heads, gate_scale)
+    x = x.reshape(b, h, w, -1)
+    x = conv2d(x, p["proj_out_w"], p["proj_out_b"])
+    return x + x_in
+
+
+def position_net(p: Dict[str, Any], boxes, masks, text_embeddings,
+                 fourier_freqs: int = 8) -> jax.Array:
+    """GLIGEN PositionNet (positionnet.py:9-48): Fourier-embedded xyxy +
+    phrase CLIP embeddings -> grounding tokens; padded slots replaced by the
+    learned null embeddings. boxes [B,N,4], masks [B,N], text [B,N,768]."""
+    m = masks[..., None]
+    xyxy = fourier_embed(boxes, fourier_freqs)
+    text = text_embeddings * m + (1 - m) * p["null_positive"]
+    xyxy = xyxy * m + (1 - m) * p["null_position"]
+    h = jnp.concatenate([text, xyxy], axis=-1)
+    h = jax.nn.silu(h @ p["w0"] + p["b0"])
+    h = jax.nn.silu(h @ p["w1"] + p["b1"])
+    return h @ p["w2"] + p["b2"]
+
+
+# ---------------------------------------------------------------- converters
+
+def _np(x):
+    if isinstance(x, np.ndarray):
+        return x
+    x = x.detach().cpu()
+    if str(x.dtype) in ("torch.bfloat16", "torch.float16"):
+        x = x.float()
+    return x.numpy()
+
+
+def conv_w(sd, key):
+    """torch conv [O, I, kh, kw] -> HWIO."""
+    return np.ascontiguousarray(_np(sd[key]).transpose(2, 3, 1, 0))
+
+
+def lin_w(sd, key):
+    return np.ascontiguousarray(_np(sd[key]).T)
+
+
+def convert_attention(sd, pfx) -> Dict[str, Any]:
+    return {
+        "to_q": lin_w(sd, pfx + "to_q.weight"),
+        "to_k": lin_w(sd, pfx + "to_k.weight"),
+        "to_v": lin_w(sd, pfx + "to_v.weight"),
+        "out_w": lin_w(sd, pfx + "to_out.0.weight"),
+        "out_b": _np(sd[pfx + "to_out.0.bias"]),
+    }
+
+
+def convert_ln(sd, pfx) -> Dict[str, Any]:
+    return {"scale": _np(sd[pfx + "weight"]), "bias": _np(sd[pfx + "bias"])}
+
+
+def convert_ff(sd, pfx) -> Dict[str, Any]:
+    return {
+        "proj_w": lin_w(sd, pfx + "net.0.proj.weight"),
+        "proj_b": _np(sd[pfx + "net.0.proj.bias"]),
+        "out_w": lin_w(sd, pfx + "net.2.weight"),
+        "out_b": _np(sd[pfx + "net.2.bias"]),
+    }
+
+
+def convert_gated_sa(sd, pfx) -> Dict[str, Any]:
+    return {
+        "linear_w": lin_w(sd, pfx + "linear.weight"),
+        "linear_b": _np(sd[pfx + "linear.bias"]),
+        "attn": convert_attention(sd, pfx + "attn."),
+        "ff": convert_ff(sd, pfx + "ff."),
+        "norm1": convert_ln(sd, pfx + "norm1."),
+        "norm2": convert_ln(sd, pfx + "norm2."),
+        "alpha_attn": _np(sd[pfx + "alpha_attn"]),
+        "alpha_dense": _np(sd[pfx + "alpha_dense"]),
+    }
+
+
+def convert_transformer_block(sd, pfx, with_fuser=True) -> Dict[str, Any]:
+    p = {
+        "attn1": convert_attention(sd, pfx + "attn1."),
+        "attn2": convert_attention(sd, pfx + "attn2."),
+        "ff": convert_ff(sd, pfx + "ff."),
+        "norm1": convert_ln(sd, pfx + "norm1."),
+        "norm2": convert_ln(sd, pfx + "norm2."),
+        "norm3": convert_ln(sd, pfx + "norm3."),
+    }
+    if with_fuser and (pfx + "fuser.linear.weight") in sd:
+        p["fuser"] = convert_gated_sa(sd, pfx + "fuser.")
+    return p
+
+
+def convert_spatial_transformer(sd, pfx, depth=1) -> Dict[str, Any]:
+    return {
+        "norm_scale": _np(sd[pfx + "norm.weight"]),
+        "norm_bias": _np(sd[pfx + "norm.bias"]),
+        "proj_in_w": conv_w(sd, pfx + "proj_in.weight"),
+        "proj_in_b": _np(sd[pfx + "proj_in.bias"]),
+        "proj_out_w": conv_w(sd, pfx + "proj_out.weight"),
+        "proj_out_b": _np(sd[pfx + "proj_out.bias"]),
+        "blocks": [
+            convert_transformer_block(sd, f"{pfx}transformer_blocks.{i}.")
+            for i in range(depth)
+        ],
+    }
+
+
+def convert_position_net(sd, pfx="position_net.") -> Dict[str, Any]:
+    return {
+        "null_positive": _np(sd[pfx + "null_positive_feature"]),
+        "null_position": _np(sd[pfx + "null_position_feature"]),
+        "w0": lin_w(sd, pfx + "linears.0.weight"), "b0": _np(sd[pfx + "linears.0.bias"]),
+        "w1": lin_w(sd, pfx + "linears.2.weight"), "b1": _np(sd[pfx + "linears.2.bias"]),
+        "w2": lin_w(sd, pfx + "linears.4.weight"), "b2": _np(sd[pfx + "linears.4.bias"]),
+    }

@@ -186,11 +186,14 @@ def _attend_xla(q, k, v, mask, scale):
     return out.reshape(b, s, n, d)
 
 
-def _attend(q, k, v, mask, scale, impl: str):
-    if impl == "flash":
+def _attend(q, k, v, mask, scale, impl: str, kv_mask=None, q_offset=0):
+    """mask: dense [B,1,S,T] (XLA path); kv_mask/q_offset: flash-path
+    equivalent (causal in key-slot space + per-slot validity)."""
+    if impl == "flash" and q.shape[1] > 1:
         from vitron_tpu.kernels.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask=mask, scale=scale)
+        return flash_attention(q, k, v, kv_mask=kv_mask, q_offset=q_offset,
+                               scale=float(scale))
     return _attend_xla(q, k, v, mask, scale)
 
 
@@ -213,7 +216,7 @@ def forward(
     b, s, h = input_embeds.shape
     x = input_embeds.astype(cfg.compute_dtype)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
-    scale = 1.0 / jnp.sqrt(cfg.head_dim).astype(jnp.float32)
+    scale = 1.0 / (cfg.head_dim ** 0.5)
 
     if attn_mask is None:
         attn_mask = jnp.ones((b, s), bool)
@@ -222,7 +225,7 @@ def forward(
         # mask[b,1,i,j]: causal & key valid
         causal = jnp.tril(jnp.ones((s, s), bool))
         mask = causal[None, None] & attn_mask[:, None, None, :]
-        t_positions = None
+        kv_mask, q_offset = attn_mask, 0
     else:
         t = cache.k.shape[2]
         new_valid = jax.lax.dynamic_update_slice(
@@ -232,6 +235,7 @@ def forward(
         key_pos = jnp.arange(t)[None, None, None, :]
         q_pos = cache.index + jnp.arange(s)[None, None, :, None]
         mask = (key_pos <= q_pos) & new_valid[:, None, None, :]
+        kv_mask, q_offset = new_valid, cache.index
 
     def layer(x, lp):
         xn = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
@@ -240,7 +244,8 @@ def forward(
         v = (xn @ lp["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn_out = _attend(q, k, v, mask, scale, cfg.attn_impl)
+        attn_out = _attend(q, k, v, mask, scale, cfg.attn_impl,
+                           kv_mask=kv_mask, q_offset=q_offset)
         x = x + attn_out.reshape(b, s, h) @ lp["wo"]
         xn = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         x = x + (jax.nn.silu(xn @ lp["gate"]) * (xn @ lp["up"])) @ lp["down"]
@@ -259,7 +264,8 @@ def forward(
             layer_k, k.astype(layer_k.dtype), (0, cache.index, 0, 0))
         layer_v = jax.lax.dynamic_update_slice(
             layer_v, v.astype(layer_v.dtype), (0, cache.index, 0, 0))
-        attn_out = _attend(q, layer_k, layer_v, mask, scale, cfg.attn_impl)
+        attn_out = _attend(q, layer_k, layer_v, mask, scale, cfg.attn_impl,
+                           kv_mask=kv_mask, q_offset=q_offset)
         x = x + attn_out.reshape(b, s, h) @ lp["wo"]
         xn = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         x = x + (jax.nn.silu(xn @ lp["gate"]) * (xn @ lp["up"])) @ lp["down"]
