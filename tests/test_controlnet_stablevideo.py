@@ -1,0 +1,130 @@
+"""ControlNet + StableVideo atlas editing tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitron_tpu.models.diffusion import controlnet, stablevideo
+from vitron_tpu.models.diffusion.unet2d import UNetConfig
+from vitron_tpu.models.diffusion import unet2d
+
+
+def test_zero_init_controlnet_is_identity():
+    """Freshly-initialized ControlNet residuals are all zero convs ->
+    controlled forward == plain forward (the ControlNet training premise)."""
+    cfg = UNetConfig.tiny()
+    rng = jax.random.PRNGKey(0)
+    unet_params = unet2d.init_params(rng, cfg, grounding=False)
+    ctrl_params = controlnet.init_params(jax.random.PRNGKey(1), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    hint = jnp.zeros((1, 64, 64, 3))  # hint encoder downsamples 8x
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 7, 16))
+    t = jnp.asarray([500])
+    res = controlnet.control_residuals(ctrl_params, cfg, x, hint, t, ctx)
+    assert all(bool(jnp.all(r == 0)) for r in res)
+    out_ctrl = controlnet.controlled_forward(unet_params, cfg, x, t, ctx, res)
+    out_plain = unet2d.forward(unet_params, cfg, x, t, ctx, objs=None)
+    np.testing.assert_allclose(np.asarray(out_ctrl), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hint_downsamples_to_latent():
+    cfg = UNetConfig.tiny()
+    p = controlnet.init_params(jax.random.PRNGKey(0), cfg)
+    hint = jnp.zeros((1, 64, 64, 3))
+    feats = controlnet.hint_features(p, hint)
+    assert feats.shape == (1, 8, 8, cfg.model_channels)
+
+
+def test_grid_sample_parity():
+    torch = pytest.importorskip("torch")
+
+    img = np.random.RandomState(0).randn(9, 11, 3).astype(np.float32)
+    uv = (np.random.RandomState(1).rand(4, 5, 2) * 2 - 1).astype(np.float32)
+    want = torch.nn.functional.grid_sample(
+        torch.tensor(img.transpose(2, 0, 1))[None],
+        torch.tensor(uv)[None], align_corners=True)[0].numpy().transpose(1, 2, 0)
+    got = stablevideo.grid_sample_bilinear(jnp.asarray(img), jnp.asarray(uv))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_atlas_render_roundtrip():
+    """Identity UVs must reproduce the atlas crop exactly."""
+    rs = np.random.RandomState(0)
+    fg = jnp.asarray(rs.rand(16, 16, 3).astype(np.float32))
+    bg = jnp.asarray(rs.rand(16, 16, 3).astype(np.float32))
+    ys = np.linspace(-1, 1, 8)
+    xs = np.linspace(-1, 1, 8)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    uv = jnp.asarray(np.stack([gx, gy], axis=-1)[None].astype(np.float32))
+    alpha = jnp.ones((1, 8, 8, 1))
+    frames = stablevideo.render_frames(fg, bg, uv, uv, alpha)
+    # alpha=1 -> pure fg sampled on the identity grid
+    want = stablevideo.grid_sample_bilinear(fg, uv[0])
+    np.testing.assert_allclose(np.asarray(frames[0]), np.asarray(want), rtol=1e-5)
+    frames_bg = stablevideo.render_frames(fg, bg, uv, uv, jnp.zeros_like(alpha))
+    want_bg = stablevideo.grid_sample_bilinear(bg, uv[0])
+    np.testing.assert_allclose(np.asarray(frames_bg[0]), np.asarray(want_bg), rtol=1e-5)
+
+
+def test_imlp_and_uv_eval():
+    cfg = stablevideo.IMLPConfig(hidden_dim=16, num_layers=4, positional_dim=4,
+                                 skip_layers=(2,))
+    fg = stablevideo.imlp_init(jax.random.PRNGKey(0), cfg)
+    bg = stablevideo.imlp_init(jax.random.PRNGKey(1), cfg)
+    al = stablevideo.imlp_init(jax.random.PRNGKey(2),
+                               stablevideo.IMLPConfig(
+                                   hidden_dim=16, num_layers=4, positional_dim=4,
+                                   skip_layers=(2,), output_dim=1))
+    cfgs = {"fg": cfg, "bg": cfg,
+            "alpha": stablevideo.IMLPConfig(hidden_dim=16, num_layers=4,
+                                            positional_dim=4, skip_layers=(2,),
+                                            output_dim=1)}
+    fuv, buv, a = stablevideo.atlas_uvs(fg, bg, al, cfgs, 3, 8, 8)
+    assert fuv.shape == (3, 8, 8, 2) and buv.shape == (3, 8, 8, 2)
+    assert a.shape == (3, 8, 8, 1)
+    assert bool((a >= 0).all() and (a <= 1).all())
+    assert bool((fuv >= -1).all() and (fuv <= 1).all())
+
+
+def test_scatter_to_atlas():
+    frame = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    ys = np.linspace(-1, 1, 8)
+    gy, gx = np.meshgrid(ys, ys, indexing="ij")
+    uv = np.stack([gx, gy], axis=-1).astype(np.float32)
+    atlas, valid = stablevideo.scatter_to_atlas(frame, uv, (8, 8))
+    assert atlas.shape == (8, 8, 3)
+    # identity mapping: interior pixels reproduce the frame
+    np.testing.assert_allclose(atlas[2:6, 2:6], frame[2:6, 2:6], atol=1e-5)
+    assert valid[2:6, 2:6].all()
+
+
+def test_controlnet_img2img_tiny():
+    from vitron_tpu.models.diffusion import clip_text, vae
+
+    ucfg = UNetConfig.tiny()
+    vcfg = vae.VAEConfig.tiny()
+    tcfg = clip_text.TextConfig.tiny(hidden_size=16, num_heads=2, intermediate_size=32)
+
+    class Tok:
+        def __call__(self, texts, padding=None, max_length=16, truncation=True,
+                     return_tensors="np"):
+            out = np.zeros((len(texts), max_length), np.int64)
+            for i, t in enumerate(texts):
+                ids = [49] + [abs(hash(w)) % 100 + 2 for w in t.split()][:14] + [127]
+                out[i, : len(ids)] = ids
+            return {"input_ids": out}
+
+    editor = stablevideo.StableVideoEditor(
+        ucfg, unet2d.init_params(jax.random.PRNGKey(0), ucfg, grounding=False),
+        controlnet.init_params(jax.random.PRNGKey(1), ucfg),
+        vcfg, vae.init_params(jax.random.PRNGKey(2), vcfg),
+        tcfg, clip_text.init_params(jax.random.PRNGKey(3), tcfg),
+        tokenizer=Tok())
+    img = np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+    hint = jnp.asarray(stablevideo.canny_hint(img))
+    out = editor.edit_image(jnp.asarray(img), hint, "a winter scene",
+                            strength=0.8, steps=5, rng=jax.random.PRNGKey(4))
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == jnp.uint8

@@ -1,0 +1,270 @@
+"""StableVideo: atlas-based video editing with ControlNet.
+
+TPU-native rebuild of the reference editor (reference:
+modules/StableVideo/app.py:67-413 + stablevideo/atlas_data.py,
+implicit_neural_networks.py:20-70). A video is represented by precomputed
+Neural Layered Atlases: IMLP networks map (x, y, t) pixels to foreground /
+background atlas UVs plus alpha. Editing:
+
+- background: ControlNet img2img on the background atlas crop
+  (app.py:79-139);
+- foreground: per-keyframe ControlNet (canny) edit with an
+  atlas-propagated init latent (stochastic encode at strength*T, then DDIM
+  decode, app.py:197-223), scattered back to atlas space with scipy
+  griddata on host (app.py:241-251), median-aggregated;
+- render: per-frame UV grid-sample of the edited atlases + alpha blend
+  (app.py:292-413). grid_sample == map_coordinates, fully on device; the
+  reference runs it per frame in Python, here frames batch.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------- IMLP
+
+@dataclasses.dataclass(frozen=True)
+class IMLPConfig:
+    input_dim: int = 3
+    hidden_dim: int = 256
+    output_dim: int = 2
+    num_layers: int = 8
+    positional_dim: int = 10  # frequencies for positional encoding
+    skip_layers: Tuple[int, ...] = (4, 7)
+
+
+def positional_encode(x: jax.Array, num_freqs: int) -> jax.Array:
+    """[..., D] -> [..., D*2*num_freqs] sin/cos at 2^i (implicit_neural_
+    networks.py:6-17 convention)."""
+    freqs = 2.0 ** jnp.arange(num_freqs, dtype=jnp.float32) * np.pi
+    ang = x[..., None, :] * freqs[:, None]
+    enc = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return enc.reshape(x.shape[:-1] + (-1,))
+
+
+def imlp_forward(params: Dict[str, Any], cfg: IMLPConfig, x: jax.Array,
+                 use_tanh: bool = True) -> jax.Array:
+    """x: [..., 3] (x, y, t) in [-1, 1] -> [..., output_dim]."""
+    inp = positional_encode(x, cfg.positional_dim) if cfg.positional_dim > 0 else x
+    h = inp
+    for i, layer in enumerate(params["layers"]):
+        if i in cfg.skip_layers:
+            h = jnp.concatenate([h, inp], axis=-1)
+        h = h @ layer["w"] + layer["b"]
+        if i < len(params["layers"]) - 1:
+            h = jnp.maximum(h, 0.0)
+    return jnp.tanh(h) if use_tanh else h
+
+
+def imlp_init(rng: jax.Array, cfg: IMLPConfig) -> Dict[str, Any]:
+    in_dim = cfg.input_dim * 2 * cfg.positional_dim if cfg.positional_dim else cfg.input_dim
+    dims = [in_dim] + [cfg.hidden_dim] * (cfg.num_layers - 1) + [cfg.output_dim]
+    layers = []
+    ks = jax.random.split(rng, cfg.num_layers)
+    for i in range(cfg.num_layers):
+        d_in = dims[i] + (in_dim if i in cfg.skip_layers else 0)
+        layers.append({
+            "w": jax.random.normal(ks[i], (d_in, dims[i + 1]), jnp.float32) / np.sqrt(d_in),
+            "b": jnp.zeros((dims[i + 1],)),
+        })
+    return {"layers": layers}
+
+
+def convert_imlp_torch(sd, prefix: str = "") -> Dict[str, Any]:
+    import numpy as np
+
+    def _np(x):
+        return x if isinstance(x, np.ndarray) else x.detach().float().cpu().numpy()
+
+    layers = []
+    i = 0
+    while f"{prefix}hidden_layers.{i}.weight" in sd or f"{prefix}layers.{i}.weight" in sd:
+        stem = f"{prefix}hidden_layers.{i}" if f"{prefix}hidden_layers.{i}.weight" in sd \
+            else f"{prefix}layers.{i}"
+        layers.append({"w": np.ascontiguousarray(_np(sd[stem + ".weight"]).T),
+                       "b": _np(sd[stem + ".bias"])})
+        i += 1
+    return {"layers": layers}
+
+
+# ----------------------------------------------------------------- render
+
+def grid_sample_bilinear(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """torch F.grid_sample(align_corners=True) equivalent.
+    img: [H, W, C]; uv: [..., 2] in [-1, 1] (x, y). Returns [..., C]."""
+    h, w, c = img.shape
+    x = (uv[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (uv[..., 1] + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 1).astype(jnp.int32)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    wx = x - x0
+    wy = y - y0
+    out = (img[y0, x0] * ((1 - wy) * (1 - wx))[..., None]
+           + img[y0, x1] * ((1 - wy) * wx)[..., None]
+           + img[y1, x0] * (wy * (1 - wx))[..., None]
+           + img[y1, x1] * (wy * wx)[..., None])
+    return out
+
+
+def render_frames(fg_atlas: jax.Array, bg_atlas: jax.Array,
+                  fg_uv: jax.Array, bg_uv: jax.Array,
+                  alpha: jax.Array) -> jax.Array:
+    """Alpha-composite edited atlases into frames (app.py:292-413).
+
+    fg_atlas/bg_atlas: [Ha, Wa, 3] in [0, 1]; fg_uv/bg_uv: [T, H, W, 2] in
+    [-1, 1]; alpha: [T, H, W, 1]. Returns [T, H, W, 3]."""
+
+    def per_frame(args):
+        fuv, buv, a = args
+        fg = grid_sample_bilinear(fg_atlas, fuv)
+        bg = grid_sample_bilinear(bg_atlas, buv)
+        return fg * a + bg * (1.0 - a)
+
+    return jax.lax.map(per_frame, (fg_uv, bg_uv, alpha))
+
+
+def atlas_uvs(fg_mlp, bg_mlp, alpha_mlp, imlp_cfgs, t_frames: int, h: int, w: int,
+              fg_uv_scale=None, bg_uv_scale=None):
+    """Evaluate the IMLP mapping networks on the full (x, y, t) grid
+    (atlas_data.py:23-290 evaluation loop, batched on device).
+
+    Returns fg_uv, bg_uv [T, H, W, 2] and alpha [T, H, W, 1]."""
+    ys = (jnp.arange(h, dtype=jnp.float32) / (h - 1)) * 2 - 1
+    xs = (jnp.arange(w, dtype=jnp.float32) / (w - 1)) * 2 - 1
+    ts = (jnp.arange(t_frames, dtype=jnp.float32) / max(t_frames - 1, 1)) * 2 - 1
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+
+    def per_t(tv):
+        pts = jnp.stack([gx, gy, jnp.full_like(gx, tv)], axis=-1)  # [H, W, 3]
+        fg = imlp_forward(fg_mlp, imlp_cfgs["fg"], pts)
+        bg = imlp_forward(bg_mlp, imlp_cfgs["bg"], pts)
+        a = imlp_forward(alpha_mlp, imlp_cfgs["alpha"], pts, use_tanh=False)
+        a = 0.5 * (jax.nn.tanh(a) + 1.0)  # alpha head convention
+        return fg, bg, a
+
+    fg, bg, a = jax.lax.map(per_t, ts)
+    if fg_uv_scale is not None:
+        fg = fg * fg_uv_scale
+    if bg_uv_scale is not None:
+        bg = bg * bg_uv_scale
+    return fg, bg, a
+
+
+# ----------------------------------------------------------------- editing
+
+def canny_hint(image_uint8: np.ndarray, low: int = 100, high: int = 200) -> np.ndarray:
+    """Host-side canny edge hint (reference annotator/canny uses cv2)."""
+    import cv2
+
+    edges = cv2.Canny(image_uint8, low, high)
+    return (np.stack([edges] * 3, axis=-1) / 255.0).astype(np.float32)
+
+
+def scatter_to_atlas(edited_frame: np.ndarray, uv: np.ndarray,
+                     atlas_hw: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Host: map an edited keyframe back to atlas space with griddata
+    (app.py:241-251). uv in [-1, 1]; returns (atlas_rgb, valid_mask)."""
+    from scipy.interpolate import griddata
+
+    ha, wa = atlas_hw
+    pts_x = (uv[..., 0].reshape(-1) + 1) * 0.5 * (wa - 1)
+    pts_y = (uv[..., 1].reshape(-1) + 1) * 0.5 * (ha - 1)
+    pts = np.stack([pts_y, pts_x], axis=1)
+    vals = edited_frame.reshape(-1, edited_frame.shape[-1])
+    gy, gx = np.mgrid[0:ha, 0:wa]
+    out = griddata(pts, vals, (gy, gx), method="linear")
+    valid = ~np.isnan(out[..., 0])
+    out = np.nan_to_num(out)
+    return out.astype(np.float32), valid
+
+
+class StableVideoEditor:
+    """Edit foreground/background atlases with ControlNet and re-render.
+
+    Holds the canny ControlNet + SD UNet/VAE/text params (resident; the
+    reference rebuilds StableVideo per request, app.py:295-303)."""
+
+    def __init__(self, unet_cfg, unet_params, control_params, vae_cfg,
+                 vae_params, text_cfg, text_params, tokenizer=None):
+        self.unet_cfg = unet_cfg
+        self.unet_params = unet_params
+        self.control_params = control_params
+        self.vae_cfg = vae_cfg
+        self.vae_params = vae_params
+        self.text_cfg = text_cfg
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+
+    def _encode_prompt(self, texts):
+        from vitron_tpu.models.diffusion import clip_text
+
+        tok = self.tokenizer(texts, padding="max_length",
+                             max_length=self.text_cfg.max_length,
+                             truncation=True, return_tensors="np")
+        return clip_text.encode(self.text_params, self.text_cfg,
+                                jnp.asarray(tok["input_ids"]))
+
+    def edit_image(self, image: jax.Array, hint: jax.Array, prompt: str,
+                   negative_prompt: str = "", strength: float = 0.9,
+                   steps: int = 20, guidance_scale: float = 9.0,
+                   rng: Optional[jax.Array] = None,
+                   init_latent: Optional[jax.Array] = None) -> jax.Array:
+        """ControlNet img2img (app.py:79-139 background path / :197-223
+        keyframe path): stochastic-encode the init latent at strength*T,
+        DDIM-decode with control residuals. image [H, W, 3] uint8; hint
+        [H, W, 3] float in [0, 1]."""
+        from vitron_tpu.models.diffusion import controlnet, samplers, vae
+        from vitron_tpu.models.diffusion.vae import SD_SCALE_FACTOR
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        cfg = self.unet_cfg
+        context = self._encode_prompt([prompt])
+        uc = self._encode_prompt([negative_prompt])
+        ctx2 = jnp.concatenate([context, uc], axis=0)
+
+        img = (image.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        if init_latent is None:
+            mean, _ = vae.encode(self.vae_params, self.vae_cfg, img[None])
+            init_latent = mean * SD_SCALE_FACTOR
+        # the hint encoder downsamples 8x; align it to the latent grid
+        lh, lw = init_latent.shape[1:3]
+        if hint.shape[:2] != (lh * 8, lw * 8):
+            hint = jax.image.resize(hint, (lh * 8, lw * 8, 3), method="linear")
+        hint2 = jnp.concatenate([hint[None], hint[None]], axis=0)
+
+        sched = samplers.DiffusionSchedule.create("linear", 1000, 0.00085, 0.012)
+        ts, alphas, alphas_prev, _ = samplers.make_ddim_arrays(sched, steps, 0.0)
+        t_enc = min(int(strength * steps), steps - 1)
+
+        # stochastic encode at step t_enc (ldm ddim stochastic_encode)
+        rng, k = jax.random.split(rng)
+        a_enc = alphas[t_enc]
+        noise = jax.random.normal(k, init_latent.shape, init_latent.dtype)
+        x = jnp.sqrt(a_enc) * init_latent + jnp.sqrt(1 - a_enc) * noise
+
+        def eps(x, t, gate):
+            xx = jnp.concatenate([x, x], axis=0)
+            tt = jnp.broadcast_to(jnp.asarray(t), (2,))
+            ctrl = controlnet.control_residuals(
+                self.control_params, cfg, xx, hint2, tt, ctx2)
+            out = controlnet.controlled_forward(
+                self.unet_params, cfg, xx, tt, ctx2, ctrl)
+            e_c, e_uc = jnp.split(out, 2, axis=0)
+            return e_uc + guidance_scale * (e_c - e_uc)
+
+        # DDIM decode from step t_enc down to 0
+        for i in range(t_enc, -1, -1):
+            e = eps(x, jnp.asarray(ts[i], jnp.int32), 1.0)
+            x, _ = samplers._x_prev(x, e, alphas[i], alphas_prev[i],
+                                    jnp.zeros((), x.dtype), jnp.zeros((), x.dtype))
+
+        out = vae.decode(self.vae_params, self.vae_cfg, x / SD_SCALE_FACTOR)[0]
+        out = jnp.clip(out, -1, 1) * 0.5 + 0.5
+        return (out * 255).astype(jnp.uint8)
