@@ -1,0 +1,244 @@
+"""VitronSystem: the full multimodal assistant wired end-to-end.
+
+Rebuilds the reference application glue (reference: app.py:89-342,456-664):
+chat engine (MLLM) + backend registry (A-G) + per-task adapters. All
+backends are constructed once and stay resident — the reference reloads
+GLIGEN/ZeroScope/I2VGenXL/StableVideo checkpoints from disk on every
+request (app.py:94-103,228,295-303,324), which dominates its latency.
+
+Each backend is optional: the system degrades to chat-only + whatever is
+registered, mirroring partial deployments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from vitron_tpu.constants import VISION_IMAGE_SIZE
+from vitron_tpu.mm.tokenization import preprocess_region
+from vitron_tpu.runtime.engine import MediaItem, VitronEngine
+from vitron_tpu.runtime.generation import SamplingConfig
+from vitron_tpu.runtime.router import (
+    BackendRegistry,
+    TaskRequest,
+    parse_region_boxes,
+    route_model_output,
+)
+
+
+class VitronSystem:
+    def __init__(self, engine: VitronEngine):
+        self.engine = engine
+        self.registry = BackendRegistry()
+
+    # ------------------------------------------------------- registration
+
+    def register_seem(self, seem_params, seem_cfg, tokenizer):
+        """B image_segmentation, E video_tracking, and the mask half of
+        C image_editing (app.py:114-155,158-212,243-273)."""
+        import jax.numpy as jnp
+
+        from vitron_tpu.models.seem import decoder as seem_dec
+        from vitron_tpu.models.seem import language as seem_lang
+        from vitron_tpu.models.seem import model as seem_model
+
+        def _text_mask(image: np.ndarray, phrase: str) -> np.ndarray:
+            size = seem_cfg.input_size
+            import jax
+
+            img = jax.image.resize(jnp.asarray(image, jnp.float32),
+                                   (size, size, 3), method="linear")
+            ids = seem_lang.tokenize(tokenizer, [phrase], seem_cfg.lang.context_length)
+            mask_tok = (np.asarray(ids) != 0).astype(np.int64)
+            mask, _ = seem_model.segment_text(
+                seem_params, seem_cfg, img.astype(jnp.uint8),
+                jnp.asarray(ids), jnp.asarray(mask_tok))
+            up = seem_model.upsample_mask(mask, image.shape[:2])
+            return np.asarray(up)
+
+        self._seem_text_mask = _text_mask
+
+        def handle_b(req: TaskRequest) -> Dict[str, Any]:
+            if req.image is None:
+                return {"status": "error", "error": "image_segmentation needs an image"}
+            if req.sketch_mask is not None:
+                size = seem_cfg.input_size
+                import jax
+
+                img = jax.image.resize(jnp.asarray(req.image, jnp.float32),
+                                       (size, size, 3), method="linear")
+                stroke = np.asarray(
+                    jax.image.resize(jnp.asarray(req.sketch_mask, jnp.float32),
+                                     (size, size), method="linear")) > 0.5
+                pts, valid = seem_dec.sample_stroke_points(
+                    stroke, seem_cfg.decoder.max_spatial_len, np.random.RandomState(0))
+                mask, _ = seem_model.segment_stroke(
+                    seem_params, seem_cfg, img.astype(jnp.uint8),
+                    jnp.asarray(pts), jnp.asarray(valid))
+                up = seem_model.upsample_mask(mask, req.image.shape[:2])
+                return {"mask": np.asarray(up)}
+            phrase = (req.instructions or [req.text])[0]
+            return {"mask": _text_mask(req.image, phrase)}
+
+        def handle_e(req: TaskRequest) -> Dict[str, Any]:
+            if req.video is None or req.sketch_mask is None:
+                return {"status": "error",
+                        "error": "video_tracking needs a video and a stroke"}
+            import jax
+
+            size = seem_cfg.input_size
+            frames = jnp.asarray([
+                np.asarray(jax.image.resize(jnp.asarray(f, jnp.float32),
+                                            (size, size, 3), method="linear"))
+                for f in req.video], jnp.uint8)
+            ref = frames[0]
+            stroke = np.asarray(
+                jax.image.resize(jnp.asarray(req.sketch_mask, jnp.float32),
+                                 (size, size), method="linear")) > 0.5
+            pts, valid = seem_dec.sample_stroke_points(
+                stroke, seem_cfg.decoder.max_spatial_len, np.random.RandomState(0))
+            masks = seem_model.track_video(
+                seem_params, seem_cfg, frames, ref, jnp.asarray(pts), jnp.asarray(valid))
+            return {"masks": np.asarray(masks)}
+
+        self.registry.register("B", handle_b)
+        self.registry.register("E", handle_e)
+
+    def register_gligen(self, pipeline):
+        """A image_generation + C image_editing (app.py:89-111,158-212).
+        C chains SEEM text segmentation into a GLIGEN inpaint keep-mask."""
+        import jax.numpy as jnp
+
+        def handle_a(req: TaskRequest) -> Dict[str, Any]:
+            prompt = (req.instructions or [req.text])[0]
+            boxes = parse_region_boxes(req.region)
+            norm = [[min(max(v, 0.0), 1.0) for v in b] for b in boxes]
+            phrases = req.instructions[1:] if req.instructions and len(req.instructions) > 1 else \
+                [prompt] * len(norm)
+            img = pipeline.generate(prompt, norm, phrases[: len(norm)],
+                                    guidance_scale=7.5)
+            return {"image": np.asarray(img)}
+
+        def handle_c(req: TaskRequest) -> Dict[str, Any]:
+            if req.image is None:
+                return {"status": "error", "error": "image_editing needs an image"}
+            instructions = req.instructions or [req.text]
+            target_phrase = instructions[-1]
+            # SEEM text segmentation -> region to replace (app.py:166-186)
+            keep = None
+            if hasattr(self, "_seem_text_mask") and len(instructions) > 1:
+                seg = self._seem_text_mask(req.image, instructions[0])
+                import jax
+
+                lat = pipeline.cfg.latent_size
+                small = np.asarray(jax.image.resize(
+                    jnp.asarray(seg, jnp.float32), (lat, lat), method="linear"))
+                keep = (small < 0.5).astype(np.float32)  # keep outside the object
+            boxes = parse_region_boxes(req.region)
+            norm = [[min(max(v, 0.0), 1.0) for v in b] for b in boxes] or [[0.25, 0.25, 0.75, 0.75]]
+            img = pipeline.generate(
+                target_phrase, norm, [target_phrase] * len(norm),
+                guidance_scale=30.0,  # inpaint guidance (app.py:189)
+                inpaint_image=jnp.asarray(req.image), inpaint_keep_mask=keep)
+            return {"image": np.asarray(img)}
+
+        self.registry.register("A", handle_a)
+        self.registry.register("C", handle_c)
+
+    def register_text2video(self, pipeline):
+        def handle_d(req: TaskRequest) -> Dict[str, Any]:
+            prompt = (req.instructions or [req.text])[0]
+            frames = pipeline.generate(prompt)
+            return {"video": np.asarray(frames)}
+
+        self.registry.register("D", handle_d)
+
+    def register_image2video(self, pipeline):
+        def handle_g(req: TaskRequest) -> Dict[str, Any]:
+            if req.image is None:
+                return {"status": "error", "error": "image_to_video needs an image"}
+            import jax.numpy as jnp
+
+            prompt = (req.instructions or [req.text])[0]
+            frames = pipeline.generate(jnp.asarray(req.image), prompt)
+            return {"video": np.asarray(frames)}
+
+        self.registry.register("G", handle_g)
+
+    def register_video_editor(self, editor, atlas_provider=None):
+        """F video_editing (app.py:276-313): edit the background atlas with
+        ControlNet and re-render; `atlas_provider(video)` must return the
+        precomputed atlas bundle (the reference expects per-video NLA
+        checkpoints, StableVideo/app.py:67-76)."""
+        import jax.numpy as jnp
+
+        from vitron_tpu.models.diffusion import stablevideo as sv
+
+        def handle_f(req: TaskRequest) -> Dict[str, Any]:
+            if atlas_provider is None:
+                return {"status": "error",
+                        "error": "video_editing needs precomputed atlases"}
+            prompt = (req.instructions or [req.text])[0]
+            atlas = atlas_provider(req.video, req.extra)
+            bg = atlas["bg_atlas"]  # [Ha, Wa, 3] float in [0, 1]
+            hint = sv.canny_hint((np.asarray(bg) * 255).astype(np.uint8))
+            edited = editor.edit_image(
+                jnp.asarray((np.asarray(bg) * 255).astype(np.uint8)),
+                jnp.asarray(hint), prompt)
+            edited_f = jnp.asarray(edited, jnp.float32) / 255.0
+            frames = sv.render_frames(
+                jnp.asarray(atlas["fg_atlas"]), edited_f,
+                jnp.asarray(atlas["fg_uv"]), jnp.asarray(atlas["bg_uv"]),
+                jnp.asarray(atlas["alpha"]))
+            return {"video": np.asarray(jnp.clip(frames, 0, 1) * 255).astype(np.uint8)}
+
+        self.registry.register("F", handle_f)
+
+    # ------------------------------------------------------------- chat
+
+    def chat(self, user_message: str, image: Optional[np.ndarray] = None,
+             video: Optional[np.ndarray] = None,
+             sketch_mask: Optional[np.ndarray] = None,
+             region_box: Optional[list] = None,
+             history=None, sampling: SamplingConfig = SamplingConfig(),
+             rng=None) -> Dict[str, Any]:
+        """One turn: preprocess media, run the MLLM, route any tool call
+        (predict(), app.py:456-664)."""
+        from vitron_tpu.media.preprocess import preprocess_image, preprocess_video
+
+        tower_size = self.engine.generator.cfg.image_tower.image_size
+        media = []
+        msg = user_message
+        if image is not None:
+            import jax.numpy as jnp
+
+            px = np.asarray(preprocess_image(jnp.asarray(image), size=tower_size))
+            media.append(MediaItem("image", px))
+            if "<image>" not in msg:
+                msg = "<image>\n" + msg
+        if video is not None:
+            import jax.numpy as jnp
+
+            nf = self.engine.generator.cfg.video_tower.num_frames
+            px = np.asarray(preprocess_video(jnp.asarray(video[:nf]), size=tower_size))
+            media.append(MediaItem("video", px))
+            if "<image>" not in msg and "<video>" not in msg:
+                msg = "<image>" * px.shape[0] + "\n" + msg
+
+        region_boxes = None
+        if region_box is not None and image is not None:
+            scaled = preprocess_region(region_box, image.shape[:2][::-1],
+                                       (tower_size, tower_size))
+            region_boxes = np.asarray([scaled], np.float32)
+            if "<objs>" not in msg:
+                msg = msg + " <objs>"
+
+        reply = self.engine.chat(msg, media=media, region_boxes=region_boxes,
+                                 history=history, sampling=sampling, rng=rng)
+        result = route_model_output(
+            self.registry, reply["raw"], image=image, video=video,
+            sketch_mask=sketch_mask)
+        result["reply"] = reply
+        return result
