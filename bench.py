@@ -37,14 +37,36 @@ PRESETS = {
 }
 
 
-def run(preset: str, prefill: int, n_new: int):
+def run(preset: str, prefill: int, n_new: int, quant: str = ""):
     import jax
     import jax.numpy as jnp
 
     from vitron_tpu.models.llm import llama
 
     cfg = llama.LlamaConfig(max_seq_len=prefill + n_new + 8, **PRESETS[preset])
-    params = jax.jit(lambda k: llama.init_params(k, cfg))(jax.random.PRNGKey(0))
+    if quant in ("int8", "int4"):
+        # generate quantized weights directly: converting a resident bf16 7B
+        # would need bf16+int8 copies simultaneously (>16 GB HBM)
+        def init_q(key):
+            p = llama.init_params(key, cfg)
+            layers = dict(p["layers"])
+            for t in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+                w = layers[t]
+                kk = jax.random.fold_in(key, hash(t) % 1000)
+                if quant == "int8":
+                    q = jax.random.randint(kk, w.shape, -127, 128, jnp.int8)
+                    s = jnp.full(w.shape[:-2] + (1, w.shape[-1]), 1e-2, jnp.float32)
+                    layers[t] = {"q": q, "s": s}
+                else:
+                    packed = w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1])
+                    q4 = jax.random.randint(kk, packed, -128, 128, jnp.int8)
+                    s = jnp.full(w.shape[:-2] + (1, w.shape[-1]), 2e-2, jnp.float32)
+                    layers[t] = {"q4": q4, "s": s}
+            return {**p, "layers": layers}
+
+        params = jax.jit(init_q)(jax.random.PRNGKey(0))
+    else:
+        params = jax.jit(lambda k: llama.init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     ids = jnp.asarray(np.random.RandomState(0).randint(1, cfg.vocab_size, (1, prefill)))
@@ -93,6 +115,9 @@ def main():
     preset = os.environ.get("VITRON_BENCH_PRESET", "7b")
     if preset not in PRESETS:
         sys.exit(f"unknown VITRON_BENCH_PRESET {preset!r}; choose from {sorted(PRESETS)}")
+    quant = os.environ.get("VITRON_BENCH_QUANT", "int8")  # int8 | int4 | bf16
+    if quant == "bf16":
+        quant = ""
     prefill = int(os.environ.get("VITRON_BENCH_PREFILL", "256"))
     n_new = int(os.environ.get("VITRON_BENCH_NEW_TOKENS", "128"))
     order = [preset] + [p for p in ("3b", "tiny") if p != preset]
@@ -100,7 +125,7 @@ def main():
     used = preset
     for p in order:
         try:
-            toks = run(p, prefill, n_new)
+            toks = run(p, prefill, n_new, quant)
             used = p
             break
         except Exception as e:  # OOM on small chips -> fall back
@@ -110,8 +135,9 @@ def main():
                           "unit": "tok/s", "vs_baseline": 0.0}))
         return
     vs = toks / A100_HF_VICUNA7B_TOKS if used == "7b" else None
+    dtype_tag = quant or "bf16"
     print(json.dumps({
-        "metric": f"vicuna-{used} decode tokens/sec/chip (greedy, bf16)",
+        "metric": f"vicuna-{used} decode tokens/sec/chip (greedy, {dtype_tag} weights)",
         "value": round(toks, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 2) if vs else None,

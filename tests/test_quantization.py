@@ -1,0 +1,75 @@
+"""Weight-only quantization: error bounds + quantized llama generation."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitron_tpu.kernels.quantization import (
+    dequantize,
+    matmul_maybe_quantized,
+    quantize_int4,
+    quantize_int8,
+    quantize_llama,
+)
+from vitron_tpu.models.llm import llama
+
+
+def test_int8_roundtrip_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 128)) * 0.1
+    q = quantize_int8(w)
+    assert q["q"].dtype == jnp.int8
+    err = jnp.abs(dequantize(q) - w).max() / jnp.abs(w).max()
+    assert float(err) < 1.2 / 127
+
+
+def test_int4_pack_unpack_exact():
+    w = jax.random.normal(jax.random.PRNGKey(1), (32, 16)) * 0.1
+    q4 = quantize_int4(w)
+    assert q4["q4"].shape == (16, 16)
+    # unpack must reproduce the pre-pack int values exactly
+    deq = dequantize(q4)
+    err = jnp.abs(deq - w).max() / jnp.abs(w).max()
+    assert float(err) < 1.2 / 7
+
+
+def test_matmul_dispatch():
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 64))
+    w = jax.random.normal(jax.random.PRNGKey(3), (64, 32)) * 0.05
+    exact = x @ w
+    q8 = matmul_maybe_quantized(x, quantize_int8(w))
+    rel = jnp.linalg.norm(q8 - exact) / jnp.linalg.norm(exact)
+    assert float(rel) < 0.02
+    plain = matmul_maybe_quantized(x, w)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(exact), rtol=1e-6)
+
+
+def test_quantized_llama_generates_close_logits():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_llama(params, bits=8)
+    assert qparams["layers"]["wq"]["q"].dtype == jnp.int8
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, cfg.vocab_size)
+    pos = jnp.arange(12)[None]
+    ref, _ = llama.forward_tokens(params, cfg, ids, positions=pos)
+    got, _ = llama.forward_tokens(qparams, cfg, ids, positions=pos)
+    # top-1 agreement on most positions
+    agree = jnp.mean((jnp.argmax(ref, -1) == jnp.argmax(got, -1)).astype(jnp.float32))
+    assert float(agree) >= 0.75
+    # cached decode path also works quantized
+    cache = llama.KVCache.create(cfg, 1, max_len=32)
+    logits, cache = llama.forward_tokens(qparams, cfg, ids, positions=pos, cache=cache)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_host_quantize_matches_device():
+    from vitron_tpu.models.llm.loader import quantize_host
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    host = quantize_host(jax.tree.map(np.asarray, params), bits=8)
+    dev = quantize_llama(params, bits=8)
+    np.testing.assert_array_equal(host["layers"]["wq"]["q"],
+                                  np.asarray(dev["layers"]["wq"]["q"]))
+    np.testing.assert_allclose(host["layers"]["wq"]["s"],
+                               np.asarray(dev["layers"]["wq"]["s"]), rtol=1e-6)

@@ -1,0 +1,69 @@
+"""Utils: weight tools parity with reference semantics, config round-trip,
+logger, stage timer."""
+import json
+import numpy as np
+
+from vitron_tpu.core.config import SystemConfig, from_dict, to_dict
+from vitron_tpu.models.weight_tools import apply_delta, consolidate, make_delta
+
+
+def test_delta_roundtrip():
+    rs = np.random.RandomState(0)
+    base = {"a": rs.randn(4, 3).astype(np.float32),
+            "b": rs.randn(2, 3).astype(np.float32)}
+    target = {"a": rs.randn(4, 3).astype(np.float32),
+              "b": rs.randn(5, 3).astype(np.float32)}  # vocab growth
+    delta = make_delta(base, target)
+    back = apply_delta(base, delta)
+    for k in target:
+        np.testing.assert_allclose(back[k], target[k], rtol=1e-6)
+
+
+def test_consolidate():
+    a = {"x": np.ones(2)}
+    b = {"y": np.zeros(3)}
+    out = consolidate([a, b])
+    assert set(out) == {"x", "y"}
+
+
+def test_system_config_roundtrip(tmp_path):
+    cfg = SystemConfig(base_model="/ckpt/vicuna", quantize_llm="int8",
+                       mesh_shape={"fsdp": 8})
+    p = tmp_path / "sys.json"
+    cfg.save(str(p))
+    loaded = SystemConfig.load(str(p))
+    assert loaded.base_model == "/ckpt/vicuna"
+    assert loaded.quantize_llm == "int8"
+    assert loaded.mesh_shape == {"fsdp": 8}
+    assert loaded.enable == ("A", "B", "C", "D", "E", "F", "G")
+
+
+def test_config_rejects_unknown_keys(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"base_model": "x", "typo_key": 1}))
+    import pytest
+
+    with pytest.raises(ValueError, match="typo_key"):
+        SystemConfig.load(str(p))
+
+
+def test_logger_and_timer(tmp_path, monkeypatch):
+    import vitron_tpu.utils.logging as vlog
+
+    monkeypatch.setattr(vlog, "LOGDIR", str(tmp_path))
+    monkeypatch.setattr(vlog, "_handler", None)
+    logger = vlog.build_logger("test", "test.log")
+    logger.info("hello rotating file")
+    import glob
+
+    assert glob.glob(str(tmp_path / "test.log*"))
+
+    from vitron_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("encode"):
+        pass
+    with t.stage("decode"):
+        pass
+    s = t.summary()
+    assert "encode" in s and "total" in s

@@ -1,0 +1,88 @@
+"""Weight-only int8 quantization for the LLM decode path.
+
+Replaces the reference's bitsandbytes 4/8-bit CUDA load path
+(reference: vitron/model/builder.py:40-45, train.py:1040-1056) with a
+TPU-native scheme: per-output-channel symmetric int8 weights + fp32 scales.
+Decode on one chip is HBM-bandwidth-bound (weights are re-read every token),
+so halving weight bytes ~doubles tokens/sec; the int8->bf16 convert fuses
+into the XLA dot's operand read, nothing is materialized.
+
+Representation: a quantized matrix is the dict {"q": int8 [..., in, out],
+"s": f32 [..., 1, out]} living at the same pytree key as the original
+array — `matmul_maybe_quantized` dispatches on type, so the same model code
+serves both. int4 packs two nibbles per int8 byte ({"q4": ..., "s": ...}).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Union
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_int8(w: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel int8: w ~= q * s. w: [..., in, out]."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def quantize_int4(w: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel int4, two values packed per byte along
+    the input dim (in must be even)."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(w32 / s), -7, 7).astype(jnp.int8)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = ((hi.astype(jnp.uint8) & 0xF) << 4 | (lo.astype(jnp.uint8) & 0xF)).astype(jnp.int8)
+    return {"q4": packed, "s": s}
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    u = packed.astype(jnp.uint8)
+    lo = (u & 0xF).astype(jnp.int8)
+    hi = ((u >> 4) & 0xF).astype(jnp.int8)
+    # sign-extend 4-bit two's complement
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
+    return stacked.reshape(shape)
+
+
+def dequantize(w: Union[jax.Array, Dict[str, jax.Array]]) -> jax.Array:
+    if isinstance(w, dict):
+        if "q4" in w:
+            return _unpack_int4(w["q4"]).astype(jnp.float32) * w["s"]
+        return w["q"].astype(jnp.float32) * w["s"]
+    return w
+
+
+def matmul_maybe_quantized(x: jax.Array, w) -> jax.Array:
+    """x @ w for plain arrays or quantized dicts. The scale applies AFTER the
+    matmul (per output channel) so the dot reads int8 straight from HBM."""
+    if isinstance(w, dict):
+        if "q4" in w:
+            q = _unpack_int4(w["q4"])
+            s = w["s"]
+        else:
+            q, s = w["q"], w["s"]
+        y = jnp.matmul(x, q.astype(x.dtype))
+        return y * s.astype(y.dtype)
+    return x @ w
+
+
+def quantize_llama(params: Dict[str, Any], bits: int = 8,
+                   targets=("wq", "wk", "wv", "wo", "gate", "up", "down")) -> Dict[str, Any]:
+    """Quantize the projection matrices of a llama param tree (embed/lm_head
+    and norms stay bf16: together <3% of weights for 7B)."""
+    fn = quantize_int8 if bits == 8 else quantize_int4
+    layers = dict(params["layers"])
+    for t in targets:
+        if t in layers:
+            layers[t] = fn(layers[t])
+    return {**params, "layers": layers}

@@ -186,6 +186,12 @@ def _attend_xla(q, k, v, mask, scale):
     return out.reshape(b, s, n, d)
 
 
+def _mm(x, w):
+    from vitron_tpu.kernels.quantization import matmul_maybe_quantized
+
+    return matmul_maybe_quantized(x, w)
+
+
 def _attend(q, k, v, mask, scale, impl: str, kv_mask=None, q_offset=0):
     """mask: dense [B,1,S,T] (XLA path); kv_mask/q_offset: flash-path
     equivalent (causal in key-slot space + per-slot validity)."""
@@ -239,25 +245,25 @@ def forward(
 
     def layer(x, lp):
         xn = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        q = (xn @ lp["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = (xn @ lp["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = (xn @ lp["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = _mm(xn, lp["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = _mm(xn, lp["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = _mm(xn, lp["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn_out = _attend(q, k, v, mask, scale, cfg.attn_impl,
                            kv_mask=kv_mask, q_offset=q_offset)
-        x = x + attn_out.reshape(b, s, h) @ lp["wo"]
+        x = x + _mm(attn_out.reshape(b, s, h), lp["wo"])
         xn = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        x = x + (jax.nn.silu(xn @ lp["gate"]) * (xn @ lp["up"])) @ lp["down"]
+        x = x + _mm(jax.nn.silu(_mm(xn, lp["gate"])) * _mm(xn, lp["up"]), lp["down"])
         return x, None
 
     def cached_layer(carry, inputs):
         x = carry
         lp, layer_k, layer_v = inputs
         xn = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        q = (xn @ lp["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = (xn @ lp["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = (xn @ lp["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = _mm(xn, lp["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = _mm(xn, lp["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = _mm(xn, lp["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         layer_k = jax.lax.dynamic_update_slice(
@@ -266,9 +272,9 @@ def forward(
             layer_v, v.astype(layer_v.dtype), (0, cache.index, 0, 0))
         attn_out = _attend(q, layer_k, layer_v, mask, scale, cfg.attn_impl,
                            kv_mask=kv_mask, q_offset=q_offset)
-        x = x + attn_out.reshape(b, s, h) @ lp["wo"]
+        x = x + _mm(attn_out.reshape(b, s, h), lp["wo"])
         xn = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        x = x + (jax.nn.silu(xn @ lp["gate"]) * (xn @ lp["up"])) @ lp["down"]
+        x = x + _mm(jax.nn.silu(_mm(xn, lp["gate"])) * _mm(xn, lp["up"]), lp["down"])
         return x, (layer_k, layer_v)
 
     layers = params["layers"]

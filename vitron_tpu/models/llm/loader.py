@@ -146,12 +146,39 @@ def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
     return {k: _np(v) for k, v in sd.items()}
 
 
+def quantize_host(params: Dict[str, Any], bits: int = 8,
+                  targets=("wq", "wk", "wv", "wo", "gate", "up", "down")) -> Dict[str, Any]:
+    """Host-side (numpy) weight-only quantization — the production path for
+    full-size models: converting on device needs the bf16 and int8 copies
+    resident simultaneously (> one v5e chip's HBM for 7B)."""
+    layers = dict(params["layers"])
+    for t in targets:
+        if t not in layers:
+            continue
+        w = np.asarray(layers[t], np.float32)
+        amax = np.maximum(np.abs(w).max(axis=-2, keepdims=True), 1e-8)
+        if bits == 8:
+            s = amax / 127.0
+            q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+            layers[t] = {"q": q, "s": s.astype(np.float32)}
+        else:
+            s = amax / 7.0
+            q = np.clip(np.round(w / s), -7, 7).astype(np.int8)
+            lo = q[..., 0::2, :]
+            hi = q[..., 1::2, :]
+            packed = ((hi.astype(np.uint8) & 0xF) << 4 | (lo.astype(np.uint8) & 0xF)).astype(np.int8)
+            layers[t] = {"q4": packed, "s": s.astype(np.float32)}
+    return {**params, "layers": layers}
+
+
 def load_pretrained_llama(
     base_path: str,
     cfg: LlamaConfig,
     lora_path: Optional[str] = None,
+    quantize: str = "",
 ) -> Dict[str, Any]:
-    """Full loader: base + optional LoRA merge -> device-ready param tree."""
+    """Full loader: base + optional LoRA merge (+ optional host int8/int4
+    weight-only quantization) -> device-ready param tree."""
     sd = load_safetensors_dir(base_path)
     if not sd:
         # legacy torch shards
@@ -176,4 +203,7 @@ def load_pretrained_llama(
         for f in list(lp.glob("adapter_model.bin")):
             lora_sd.update(load_torch_bin(str(f)))
         merge_lora(sd, lora_sd, r=r, alpha=alpha)
-    return convert_hf_llama(sd, cfg)
+    params = convert_hf_llama(sd, cfg)
+    if quantize in ("int8", "int4"):
+        params = quantize_host(params, bits=8 if quantize == "int8" else 4)
+    return params

@@ -1,0 +1,56 @@
+"""Profiling: jax.profiler traces + per-stage wall timers.
+
+The reference has no tracing at all (SURVEY §5: thop FLOP counting in a
+test file is the closest thing). Here: Perfetto-compatible device traces
+via jax.profiler and a lightweight stage timer for the request router.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """Capture a jax.profiler trace (open in Perfetto / TensorBoard)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region inside a trace (shows up on the TraceViewer timeline)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StageTimer:
+    """Wall-clock stage timing with device-completion barriers."""
+
+    def __init__(self):
+        self.stages: List[Dict] = []
+
+    @contextlib.contextmanager
+    def stage(self, name: str, block_on=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if block_on is not None:
+                import numpy as np
+
+                np.asarray(block_on() if callable(block_on) else block_on)
+            self.stages.append({"stage": name,
+                                "seconds": time.perf_counter() - t0})
+
+    def summary(self) -> str:
+        total = sum(s["seconds"] for s in self.stages)
+        lines = [f"{s['stage']:<24} {s['seconds']*1e3:9.1f} ms" for s in self.stages]
+        lines.append(f"{'total':<24} {total*1e3:9.1f} ms")
+        return "\n".join(lines)
