@@ -168,3 +168,92 @@ def test_track_video_smoke(tiny_seem):
         jnp.asarray(pts), jnp.asarray(valid))
     assert masks.shape == (3, 16, 16)
     assert masks.dtype == bool
+
+
+def test_pixel_decoder_full_parity():
+    """Whole FPN pixel decoder (lateral/output convs with GroupNorm, 2-layer
+    transformer encoder on the top level, mask feature conv) + converter vs
+    the vendored torch module."""
+    ref_mod = load_reference_package_module(
+        "modules.SEEM.demo_code.xdecoder.body.encoder.transformer_encoder_fpn")
+    from detectron2.layers import ShapeSpec  # shimmed
+
+    torch.manual_seed(0)
+    input_shape = {"res2": ShapeSpec(channels=16, stride=4),
+                   "res3": ShapeSpec(channels=32, stride=8)}
+    ref = ref_mod.TransformerEncoderPixelDecoder(
+        input_shape=input_shape, transformer_dropout=0.0, transformer_nheads=4,
+        transformer_dim_feedforward=64, transformer_enc_layers=2,
+        transformer_pre_norm=False, conv_dim=32, mask_dim=32, mask_on=True,
+        norm="GN")
+    ref.eval()
+
+    cfg = pixel_decoder.PixelDecoderConfig.tiny()
+    sd = {f"sem_seg_head.pixel_decoder.{k}": v for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, pixel_decoder.convert_torch(sd, cfg))
+
+    rs = np.random.RandomState(0)
+    res2 = rs.randn(1, 16, 16, 16).astype(np.float32)  # NCHW
+    res3 = rs.randn(1, 32, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        mask_t, _, multi_t = ref.forward_features(
+            {"res2": torch.tensor(res2), "res3": torch.tensor(res3)})
+    mask_j, multi_j = pixel_decoder.forward_features(
+        params, cfg,
+        [jnp.asarray(res2.transpose(0, 2, 3, 1)),
+         jnp.asarray(res3.transpose(0, 2, 3, 1))])
+    np.testing.assert_allclose(
+        np.asarray(mask_j).transpose(0, 3, 1, 2), mask_t.numpy(),
+        rtol=3e-4, atol=3e-4)
+    for mj, mt in zip(multi_j, multi_t):
+        np.testing.assert_allclose(np.asarray(mj).transpose(0, 3, 1, 2),
+                                   mt.numpy(), rtol=3e-4, atol=3e-4)
+
+
+def test_lang_encoder_full_parity():
+    """SEEM language encoder + converter vs the vendored CLIP-style torch
+    transformer (quickgelu, causal, EOT pooling, lang projection)."""
+    ref_mod = load_reference_package_module(
+        "modules.SEEM.demo_code.xdecoder.language.LangEncoder.transformer")
+    torch.manual_seed(0)
+    ref = ref_mod.Transformer(context_length=16, vocab_size=128, width=32,
+                              layers=2, heads=4, autogressive=True)
+    ref.eval()
+    lang_proj = torch.randn(32, 32) * 0.02
+
+    cfg = language.LangConfig.tiny()
+    sd = {f"sem_seg_head.predictor.lang_encoder.lang_encoder.{k}": v
+          for k, v in ref.state_dict().items()}
+    sd["sem_seg_head.predictor.lang_encoder.lang_proj"] = lang_proj
+    sd["sem_seg_head.predictor.lang_encoder.logit_scale"] = torch.zeros(())
+    params = jax.tree.map(jnp.asarray, language.convert_torch(sd, cfg))
+
+    ids = np.random.RandomState(0).randint(1, 128, (2, 16))
+    with torch.no_grad():
+        want_hidden = ref(torch.tensor(ids))["last_hidden_state"].numpy()
+    got_hidden = language.encode_tokens(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got_hidden), want_hidden,
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_panoptic_postprocess():
+    from vitron_tpu.models.seem import postprocess as pp
+
+    rs = np.random.RandomState(0)
+    q, k, h, w = 8, 5, 16, 16
+    mask_cls = rs.randn(q, k + 1).astype(np.float32)
+    mask_cls[0, 1] += 8.0   # confident query 0 -> class 1
+    mask_cls[1, 3] += 8.0   # confident query 1 -> class 3
+    mask_pred = np.full((q, h, w), -8.0, np.float32)
+    mask_pred[0, :8] = 8.0
+    mask_pred[1, 8:] = 8.0
+    pan, segs = pp.panoptic_inference(mask_cls, mask_pred, thing_ids={1},
+                                      object_mask_threshold=0.5)
+    assert len(segs) == 2
+    assert {s.category_id for s in segs} == {1, 3}
+    assert pan.max() == 2 and (pan > 0).all()
+
+    sem = pp.semantic_inference(jnp.asarray(mask_cls), jnp.asarray(mask_pred))
+    assert sem.shape == (k, h, w)
+    inst = pp.instance_inference(mask_cls, mask_pred, topk=4)
+    assert inst["masks"].shape[0] == 4

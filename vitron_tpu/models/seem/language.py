@@ -30,6 +30,8 @@ class LangConfig:
     context_length: int = 77
     dim_proj: int = 512
     autoregressive: bool = True
+    # the vendored LangEncoder LayerNorm uses eps=1e-12 (transformer.py:55)
+    layer_norm_eps: float = 1e-12
 
     @staticmethod
     def tiny(**kw) -> "LangConfig":
@@ -82,10 +84,10 @@ def init_params(rng: jax.Array, cfg: LangConfig) -> Dict[str, Any]:
     }
 
 
-def _block(x, lp, heads, causal):
+def _block(x, lp, heads, causal, eps):
     b, n, w = x.shape
     d = w // heads
-    xn = _ln(x, lp["ln1"])
+    xn = _ln(x, lp["ln1"], eps)
     wq, wk, wv = jnp.split(lp["attn"]["in_w"], 3, axis=1)
     bq, bk, bv = jnp.split(lp["attn"]["in_b"], 3, axis=0)
     q = (xn @ wq + bq).reshape(b, n, heads, d)
@@ -98,7 +100,7 @@ def _block(x, lp, heads, causal):
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     att = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, w)
     x = x + att @ lp["attn"]["out_w"] + lp["attn"]["out_b"]
-    xn = _ln(x, lp["ln2"])
+    xn = _ln(x, lp["ln2"], eps)
     h = xn @ lp["fc1"] + lp["b1"]
     h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU
     return x + h @ lp["fc2"] + lp["b2"]
@@ -110,10 +112,10 @@ def encode_tokens(params, cfg: LangConfig, token_ids: jax.Array) -> jax.Array:
     x = x + params["pos_emb"][: x.shape[1]]
 
     def body(x, lp):
-        return _block(x, lp, cfg.num_heads, cfg.autoregressive), None
+        return _block(x, lp, cfg.num_heads, cfg.autoregressive, cfg.layer_norm_eps), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    return _ln(x, params["ln_final"])
+    return _ln(x, params["ln_final"], cfg.layer_norm_eps)
 
 
 def token_and_class_emb(params, cfg: LangConfig, token_ids: jax.Array,
