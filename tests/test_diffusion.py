@@ -266,3 +266,33 @@ def test_gligen_inpaint_tiny_end_to_end():
         guidance_scale=30.0, rng=jax.random.PRNGKey(1), steps=5,
         inpaint_image=src)
     assert img.shape == (32, 32, 3)
+
+
+def test_position_net_with_image_parity():
+    """Text+image grounding PositionNet vs the vendored torch module."""
+    from vitron_tpu.models.diffusion.layers import (
+        convert_position_net_with_image,
+        position_net_with_image,
+    )
+
+    mod = load_reference_package_module(
+        "modules.GLIGEN.demo.gligen.ldm.modules.diffusionmodules.positionnet_with_image")
+    torch.manual_seed(0)
+    ref = mod.PositionNet(positive_len=16, out_dim=24).eval()
+    sd = {f"position_net.{k}": v for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_position_net_with_image(sd))
+
+    rs = np.random.RandomState(0)
+    boxes = rs.rand(1, 5, 4).astype(np.float32)
+    masks = (rs.rand(1, 5) > 0.3).astype(np.float32)
+    tmask = masks * (rs.rand(1, 5) > 0.2)
+    imask = masks * (rs.rand(1, 5) > 0.5)
+    temb = rs.randn(1, 5, 16).astype(np.float32)
+    iemb = rs.randn(1, 5, 16).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(boxes), torch.tensor(masks), torch.tensor(tmask),
+                   torch.tensor(imask), torch.tensor(temb), torch.tensor(iemb)).numpy()
+    got = position_net_with_image(
+        params, jnp.asarray(boxes), jnp.asarray(masks), jnp.asarray(tmask),
+        jnp.asarray(imask), jnp.asarray(temb), jnp.asarray(iemb))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

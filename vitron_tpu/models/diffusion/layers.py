@@ -268,3 +268,46 @@ def convert_position_net(sd, pfx="position_net.") -> Dict[str, Any]:
         "w1": lin_w(sd, pfx + "linears.2.weight"), "b1": _np(sd[pfx + "linears.2.bias"]),
         "w2": lin_w(sd, pfx + "linears.4.weight"), "b2": _np(sd[pfx + "linears.4.bias"]),
     }
+
+
+def position_net_with_image(p: Dict[str, Any], boxes, masks, text_masks,
+                            image_masks, text_embeddings, image_embeddings,
+                            fourier_freqs: int = 8) -> jax.Array:
+    """GLIGEN text+image grounding PositionNet (positionnet_with_image.py:
+    9-66): separate text/image MLP branches over Fourier boxes + CLIP
+    features, concatenated to 2N grounding tokens. Used by the style /
+    text-image-box pipeline (demo/app.py:84-91)."""
+    m = masks[..., None]
+    tm = text_masks[..., None]
+    im = image_masks[..., None]
+    xyxy = fourier_embed(boxes, fourier_freqs)
+    text = text_embeddings * tm + (1 - tm) * p["null_text"]
+    image = image_embeddings * im + (1 - im) * p["null_image"]
+    xyxy = xyxy * m + (1 - m) * p["null_position"]
+
+    def branch(feats, w):
+        h = jnp.concatenate([feats, xyxy], axis=-1)
+        h = jax.nn.silu(h @ w["w0"] + w["b0"])
+        h = jax.nn.silu(h @ w["w1"] + w["b1"])
+        return h @ w["w2"] + w["b2"]
+
+    objs_text = branch(text, p["text"])
+    objs_image = branch(image, p["image"])
+    return jnp.concatenate([objs_text, objs_image], axis=1)
+
+
+def convert_position_net_with_image(sd, pfx="position_net.") -> Dict[str, Any]:
+    def mlp(stem):
+        return {
+            "w0": lin_w(sd, pfx + stem + ".0.weight"), "b0": _np(sd[pfx + stem + ".0.bias"]),
+            "w1": lin_w(sd, pfx + stem + ".2.weight"), "b1": _np(sd[pfx + stem + ".2.bias"]),
+            "w2": lin_w(sd, pfx + stem + ".4.weight"), "b2": _np(sd[pfx + stem + ".4.bias"]),
+        }
+
+    return {
+        "null_text": _np(sd[pfx + "null_text_feature"]),
+        "null_image": _np(sd[pfx + "null_image_feature"]),
+        "null_position": _np(sd[pfx + "null_position_feature"]),
+        "text": mlp("linears_text"),
+        "image": mlp("linears_image"),
+    }
