@@ -1,0 +1,229 @@
+"""Paged KV cache: block-pooled KV storage for multi-request serving.
+
+New serving surface (SURVEY §7 kernel list: "paged/blocked KV cache ops");
+the reference has no serving stack at all (one Gradio queue, HF generate
+reallocating its cache per step). Design:
+
+- one global block pool per layer: k/v [L, num_blocks, block_size, KV, D];
+- each sequence owns a host-managed list of block ids (the block table);
+  sequences grow by appending blocks, finish by returning them to the free
+  list — no compaction, no per-request preallocation of max_len;
+- decode attention gathers each sequence's blocks with one `jnp.take`
+  (XLA gather) and masks by true length: batch of ragged sequences, one
+  compiled program for a (batch, max_blocks) bucket.
+
+Everything device-side is static-shape; raggedness lives in the int32 block
+tables + lengths.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitron_tpu.models.llm.llama import LlamaConfig, apply_rope, rms_norm, rope_cos_sin
+from vitron_tpu.kernels.quantization import matmul_maybe_quantized as _mm
+
+
+@dataclasses.dataclass
+class PagedPool:
+    """Device block pool + host allocator."""
+
+    k: jax.Array          # [L, num_blocks, block_size, KV, D]
+    v: jax.Array
+    block_size: int
+    free: List[int]
+
+    @staticmethod
+    def create(cfg: LlamaConfig, num_blocks: int, block_size: int = 16) -> "PagedPool":
+        shape = (cfg.num_layers, num_blocks, block_size,
+                 cfg.num_kv_heads, cfg.head_dim)
+        return PagedPool(
+            k=jnp.zeros(shape, cfg.compute_dtype),
+            v=jnp.zeros(shape, cfg.compute_dtype),
+            block_size=block_size,
+            free=list(range(num_blocks - 1, -1, -1)),
+        )
+
+    def alloc(self) -> int:
+        if not self.free:
+            raise RuntimeError("paged KV pool exhausted")
+        return self.free.pop()
+
+    def release(self, blocks: List[int]) -> None:
+        self.free.extend(blocks)
+
+
+@dataclasses.dataclass
+class PagedSequence:
+    """Host bookkeeping for one request."""
+
+    blocks: List[int]
+    length: int = 0
+
+    def ensure_capacity(self, pool: PagedPool, new_tokens: int) -> None:
+        need = self.length + new_tokens
+        while len(self.blocks) * pool.block_size < need:
+            self.blocks.append(pool.alloc())
+
+
+def write_tokens(pool: PagedPool, seq: PagedSequence,
+                 k_new: jax.Array, v_new: jax.Array) -> PagedPool:
+    """Append [L, S, KV, D] keys/values to a sequence's blocks (device
+    scatter per touched block)."""
+    s = k_new.shape[1]
+    seq.ensure_capacity(pool, s)
+    bs = pool.block_size
+    pos = seq.length
+    k_pool, v_pool = pool.k, pool.v
+    off = 0
+    while off < s:
+        blk_idx = (pos + off) // bs
+        blk_off = (pos + off) % bs
+        take = min(bs - blk_off, s - off)
+        blk = seq.blocks[blk_idx]
+        k_pool = jax.lax.dynamic_update_slice(
+            k_pool, k_new[:, off:off + take][:, None],
+            (0, blk, blk_off, 0, 0))
+        v_pool = jax.lax.dynamic_update_slice(
+            v_pool, v_new[:, off:off + take][:, None],
+            (0, blk, blk_off, 0, 0))
+        off += take
+    seq.length += s
+    return PagedPool(k=k_pool, v=v_pool, block_size=bs, free=pool.free)
+
+
+def gather_kv(pool: PagedPool, table: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """table: [B, max_blocks] int32 (pad with 0) ->
+    k/v [L, B, max_blocks*block_size, KV, D]."""
+    k = jnp.take(pool.k, table, axis=1)  # [L, B, MB, bs, KV, D]
+    v = jnp.take(pool.v, table, axis=1)
+    l, b, mb, bs, kv, d = k.shape
+    return (k.reshape(l, b, mb * bs, kv, d), v.reshape(l, b, mb * bs, kv, d))
+
+
+def paged_decode_step(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    token_embeds: jax.Array,      # [B, 1, H]
+    positions: jax.Array,         # [B, 1]
+    pool: PagedPool,
+    table: jax.Array,             # [B, max_blocks]
+    lengths: jax.Array,           # [B] (lengths INCLUDING the new token)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One decode step over a ragged batch. The new token's K/V are returned
+    per layer for the caller to scatter with write_tokens (keeping this
+    function pure). Returns (logits [B, vocab], new_k, new_v [L, B, KV, D])."""
+    b = token_embeds.shape[0]
+    h = cfg.hidden_size
+    x = token_embeds.astype(cfg.compute_dtype)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    scale = 1.0 / (cfg.head_dim ** 0.5)
+    k_all, v_all = gather_kv(pool, table)
+    t = k_all.shape[2]
+    key_pos = jnp.arange(t)[None, :]
+    valid = key_pos < (lengths[:, None] - 1)   # existing tokens only
+
+    def layer(x, inputs):
+        lp, layer_k, layer_v = inputs
+        xn = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        q = _mm(xn, lp["wq"]).reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k_new = _mm(xn, lp["wk"]).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v_new = _mm(xn, lp["wv"]).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k_new = apply_rope(k_new, cos, sin)
+        # attend: gathered history (masked) + the new token itself
+        kv_heads = cfg.num_kv_heads
+        groups = cfg.num_heads // kv_heads
+        qg = q.reshape(b, 1, kv_heads, groups, cfg.head_dim)
+        hist = jnp.einsum("bskgd,btkd->bkgst", qg, layer_k.astype(q.dtype))
+        hist = hist.astype(jnp.float32) * scale
+        hist = jnp.where(valid[:, None, None, None, :], hist,
+                         jnp.finfo(jnp.float32).min)
+        self_logit = jnp.einsum("bskgd,bskd->bkgs", qg, k_new.astype(q.dtype))
+        self_logit = self_logit.astype(jnp.float32)[..., None] * scale
+        logits = jnp.concatenate([hist, self_logit], axis=-1)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        p_hist, p_self = probs[..., :t], probs[..., t:]
+        out = jnp.einsum("bkgst,btkd->bskgd", p_hist, layer_v.astype(q.dtype))
+        out = out + jnp.einsum("bkgs,bskd->bskgd", p_self[..., 0], v_new)
+        att = out.reshape(b, 1, h)
+        x = x + _mm(att, lp["wo"])
+        xn = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        x = x + _mm(jax.nn.silu(_mm(xn, lp["gate"])) * _mm(xn, lp["up"]), lp["down"])
+        return x, (k_new[:, 0], v_new[:, 0])
+
+    x, (k_news, v_news) = jax.lax.scan(
+        layer, x, (params["layers"], k_all, v_all))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    return logits, k_news, v_news
+
+
+class PagedServer:
+    """Minimal continuous-batching loop: sequences join/leave between steps;
+    each step decodes all active sequences in one program."""
+
+    def __init__(self, params, cfg: LlamaConfig, num_blocks: int = 256,
+                 block_size: int = 16, max_blocks_per_seq: int = 32):
+        self.params = params
+        self.cfg = cfg
+        self.pool = PagedPool.create(cfg, num_blocks, block_size)
+        self.max_blocks = max_blocks_per_seq
+        self.seqs: Dict[int, PagedSequence] = {}
+        self.last_token: Dict[int, int] = {}
+        self._next_id = 0
+        self._step = jax.jit(
+            lambda params, emb, pos, k, v, table, lengths: paged_decode_step(
+                params, cfg, emb, pos,
+                PagedPool(k=k, v=v, block_size=block_size, free=[]),
+                table, lengths))
+
+    def add_request(self, prompt_ids: List[int]) -> int:
+        """Prefill a new sequence token-by-token via the paged path (a
+        production build would run a chunked prefill kernel)."""
+        sid = self._next_id
+        self._next_id += 1
+        self.seqs[sid] = PagedSequence(blocks=[])
+        self.last_token[sid] = prompt_ids[0]
+        for tok in prompt_ids[1:]:
+            self.step({sid: None})  # extend with current last token
+            self.last_token[sid] = tok
+        return sid
+
+    def step(self, only: Optional[Dict[int, Any]] = None) -> Dict[int, int]:
+        """One decode step for all (or selected) active sequences; returns
+        {seq_id: argmax token}."""
+        ids = sorted(only if only is not None else self.seqs)
+        if not ids:
+            return {}
+        b = len(ids)
+        emb = jnp.stack([
+            jnp.take(self.params["embed"], jnp.asarray([self.last_token[i]]), axis=0)
+            for i in ids])
+        pos = jnp.asarray([[self.seqs[i].length] for i in ids])
+        for i in ids:
+            self.seqs[i].ensure_capacity(self.pool, 1)
+        table = np.zeros((b, self.max_blocks), np.int32)
+        for row, i in enumerate(ids):
+            blocks = self.seqs[i].blocks[: self.max_blocks]
+            table[row, : len(blocks)] = blocks
+        lengths = jnp.asarray([self.seqs[i].length + 1 for i in ids])
+        logits, k_new, v_new = self._step(
+            self.params, emb, pos, self.pool.k, self.pool.v,
+            jnp.asarray(table), lengths)
+        out = {}
+        for row, i in enumerate(ids):
+            self.pool = write_tokens(self.pool, self.seqs[i],
+                                     k_new[:, row][:, None],
+                                     v_new[:, row][:, None])
+            out[i] = int(jnp.argmax(logits[row]))
+            self.last_token[i] = out[i]
+        return out
+
+    def finish(self, sid: int) -> None:
+        self.pool.release(self.seqs.pop(sid).blocks)
+        self.last_token.pop(sid, None)
