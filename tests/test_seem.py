@@ -257,3 +257,95 @@ def test_panoptic_postprocess():
     assert sem.shape == (k, h, w)
     inst = pp.instance_inference(mask_cls, mask_pred, topk=4)
     assert inst["masks"].shape[0] == 4
+
+
+def test_deform_decoder_shapes_and_msda_module_parity():
+    """Deformable pixel decoder runs; MSDeformAttn module (projections +
+    offset/weight heads around the core op) matches a torch replica."""
+    from vitron_tpu.models.seem import deform_decoder as dd
+
+    cfg = dd.DeformDecoderConfig.tiny()
+    params = dd.init_params(jax.random.PRNGKey(0), cfg)
+    feats = [jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 16), jnp.float32),
+             jnp.asarray(np.random.RandomState(1).randn(1, 8, 8, 32), jnp.float32)]
+    mask_features, multi = dd.forward_features(params, cfg, feats)
+    assert mask_features.shape == (1, 16, 16, cfg.mask_dim)
+    assert bool(jnp.isfinite(mask_features).all())
+
+    # module parity vs torch replica of ms_deform_attn.py:82-120
+    import torch.nn.functional as F
+
+    b, lq, c, heads, pts = 1, 6, 32, 4, 2
+    shapes = [(4, 4), (2, 2)]
+    L = len(shapes)
+    rs = np.random.RandomState(2)
+    p = {
+        "value_w": rs.randn(c, c).astype(np.float32) * 0.1,
+        "value_b": rs.randn(c).astype(np.float32) * 0.1,
+        "off_w": rs.randn(c, heads * L * pts * 2).astype(np.float32) * 0.01,
+        "off_b": rs.randn(heads * L * pts * 2).astype(np.float32) * 0.1,
+        "attw_w": rs.randn(c, heads * L * pts).astype(np.float32) * 0.1,
+        "attw_b": rs.randn(heads * L * pts).astype(np.float32) * 0.1,
+        "out_w": rs.randn(c, c).astype(np.float32) * 0.1,
+        "out_b": rs.randn(c).astype(np.float32) * 0.1,
+    }
+    q = rs.randn(b, lq, c).astype(np.float32)
+    tokens = rs.randn(b, sum(h * w for h, w in shapes), c).astype(np.float32)
+    ref = dd._reference_points(shapes)[:lq][None]
+
+    got = dd.ms_deform_attn_module(
+        jax.tree.map(jnp.asarray, p), jnp.asarray(q), jnp.asarray(ref),
+        jnp.asarray(tokens), shapes, heads, pts)
+
+    with torch.no_grad():
+        tq = torch.tensor(q)
+        value = torch.tensor(tokens) @ torch.tensor(p["value_w"]) + torch.tensor(p["value_b"])
+        value = value.view(b, -1, heads, c // heads)
+        off = (tq @ torch.tensor(p["off_w"]) + torch.tensor(p["off_b"])).view(b, lq, heads, L, pts, 2)
+        w = (tq @ torch.tensor(p["attw_w"]) + torch.tensor(p["attw_b"])).view(b, lq, heads, L * pts)
+        w = F.softmax(w, -1).view(b, lq, heads, L, pts)
+        normalizer = torch.tensor([[wd, ht] for ht, wd in shapes], dtype=torch.float32)
+        locs = torch.tensor(ref)[:, :, None, :, None, :] + off / normalizer[None, None, None, :, None, :]
+        # reference core (same math as tests/test_ms_deform_attn._torch_ref)
+        from tests.test_ms_deform_attn import _torch_ref
+
+        core = _torch_ref(value, shapes, locs, w)
+        want = (core @ torch.tensor(p["out_w"]) + torch.tensor(p["out_b"])).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_aggnet():
+    from vitron_tpu.models.diffusion import stablevideo as sv
+
+    p = sv.aggnet_init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 3))
+    y = sv.aggnet_forward(p, x)
+    assert y.shape == x.shape
+
+
+def test_sketch_and_visualize():
+    from vitron_tpu.media import visualize as vz
+    from vitron_tpu.mm.sketch import ImageBoxState, mask_to_bbox, order_pick_k
+
+    m = np.zeros((20, 30), bool)
+    m[5:10, 8:16] = True
+    assert mask_to_bbox(m) == (8, 5, 16, 10)
+    assert mask_to_bbox(np.zeros((4, 4), bool)) is None
+
+    st = ImageBoxState((20, 30))
+    st.add_stroke(m)
+    st.add_box([1, 1, 4, 4])
+    assert len(st.boxes) == 2
+    assert st.merged_mask().sum() > m.sum()
+    st.reset()
+    assert not st.boxes
+
+    assert order_pick_k([1, 2, 3], 5) == [1, 2, 3]
+    picked = order_pick_k(list(range(10)), 4)
+    assert picked == sorted(picked) and len(picked) == 4
+
+    img = np.random.RandomState(0).randint(0, 255, (20, 30, 3), np.uint8)
+    out = vz.draw_binary_mask(img, m)
+    assert out.shape == img.shape
+    out2 = vz.draw_boxes(img, [[2, 2, 10, 10]], labels=["dog"])
+    assert out2.shape == img.shape

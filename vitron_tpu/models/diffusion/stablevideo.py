@@ -268,3 +268,26 @@ class StableVideoEditor:
         out = vae.decode(self.vae_params, self.vae_cfg, x / SD_SCALE_FACTOR)[0]
         out = jnp.clip(out, -1, 1) * 0.5 + 0.5
         return (out * 255).astype(jnp.uint8)
+
+
+# ----------------------------------------------------------------- AGGNet
+
+def aggnet_forward(p: Dict[str, Any], x: jax.Array) -> jax.Array:
+    """Atlas refinement net (reference stablevideo/aggnet.py:3-17):
+    conv3x3(3->64) + ReLU + conv3x3(64->3), residual. x: [B, H, W, 3]."""
+    h = jax.lax.conv_general_dilated(
+        x, p["w1"].astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h = jax.nn.relu(h)
+    h = jax.lax.conv_general_dilated(
+        h, p["w2"].astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return x + h
+
+
+def aggnet_init(rng: jax.Array) -> Dict[str, Any]:
+    k1, k2 = jax.random.split(rng)
+    return {
+        "w1": jax.random.normal(k1, (3, 3, 3, 64)) / np.sqrt(27),
+        "w2": jax.random.normal(k2, (3, 3, 64, 3)) / np.sqrt(576),
+    }
