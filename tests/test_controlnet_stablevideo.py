@@ -128,3 +128,22 @@ def test_controlnet_img2img_tiny():
                             strength=0.8, steps=5, rng=jax.random.PRNGKey(4))
     assert out.shape == (32, 32, 3)
     assert out.dtype == jnp.uint8
+
+
+def test_dpt_depth_tiny():
+    from vitron_tpu.models.diffusion import depth
+
+    cfg = depth.DPTConfig.tiny()
+    params = depth.init_params(jax.random.PRNGKey(0), cfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    d = depth.forward(params, cfg, img)
+    # patch grid 4 -> reassemble x4 = 16 -> 4 fusions x2 each... head x2:
+    # final spatial = grid * 4 (reassemble) * 2^4 (fusions) ... clipped by
+    # actual arithmetic; just check finiteness + 3D
+    assert d.ndim == 3 and d.shape[0] == 1
+    assert bool(jnp.isfinite(d).all())
+
+    hint = depth.depth_hint(params, cfg, np.random.RandomState(0).randint(
+        0, 255, (40, 48, 3), np.uint8))
+    assert hint.shape == (40, 48, 3)
+    assert hint.min() >= 0.0 and hint.max() <= 1.0
