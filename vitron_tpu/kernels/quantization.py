@@ -11,6 +11,12 @@ Representation: a quantized matrix is the dict {"q": int8 [..., in, out],
 "s": f32 [..., 1, out]} living at the same pytree key as the original
 array — `matmul_maybe_quantized` dispatches on type, so the same model code
 serves both. int4 packs two nibbles per int8 byte ({"q4": ..., "s": ...}).
+
+Measured (v5e tunnel chip, 7B decode): bf16 51.9 -> int8 92.9 tok/s (the
+int8->bf16 convert fuses into the dot's operand read). int4 measured SLOW
+(9.8 tok/s): the nibble unpack (shifts/select/stack) does not fuse — XLA
+materializes the unpacked matrix every step. int4 needs a fused Pallas
+dequantize-matmul kernel to pay off; until then prefer int8.
 """
 from __future__ import annotations
 

@@ -48,6 +48,8 @@ class TrainConfig:
     save_steps: int = 500                 # finetune_lora.sh:35
     save_total_limit: int = 1
     warmup_ratio: float = 0.03            # finetune_lora.sh:40
+    optimizer: str = "adamw"              # "adamw" | "adafactor" (i2vgen uses
+                                          # Adafactor, utils/optim/adafactor.py)
     seed: int = 0
     pad_len: int = 2048
     tune_projector: bool = True
@@ -95,9 +97,11 @@ def make_optimizer(train_cfg: TrainConfig, total_steps: int):
             0.0, base_lr, warmup, max(total_steps, warmup + 1))
 
     def make(lr):
-        return optax.chain(
-            optax.clip_by_global_norm(train_cfg.grad_clip),
-            optax.adamw(sched(lr), weight_decay=train_cfg.weight_decay))
+        if train_cfg.optimizer == "adafactor":
+            inner = optax.adafactor(sched(lr))
+        else:
+            inner = optax.adamw(sched(lr), weight_decay=train_cfg.weight_decay)
+        return optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip), inner)
 
     if train_cfg.projector_lr is None:
         return make(train_cfg.learning_rate)
