@@ -73,3 +73,18 @@ def test_host_quantize_matches_device():
                                   np.asarray(dev["layers"]["wq"]["q"]))
     np.testing.assert_allclose(host["layers"]["wq"]["s"],
                                np.asarray(dev["layers"]["wq"]["s"]), rtol=1e-6)
+
+
+def test_int4_kernel_parity_interpret():
+    from vitron_tpu.kernels.int4_matmul import int4_matmul
+    from vitron_tpu.kernels.quantization import _unpack_int4
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(3, 64).astype(np.float32))
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 96)) * 0.1
+    q4 = quantize_int4(w)
+    want = (x @ _unpack_int4(q4["q4"]).astype(jnp.float32)) * q4["s"]
+    got = int4_matmul(x, q4["q4"], q4["s"].astype(jnp.float32),
+                      block_n=32, block_k2=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -13,10 +13,10 @@ array — `matmul_maybe_quantized` dispatches on type, so the same model code
 serves both. int4 packs two nibbles per int8 byte ({"q4": ..., "s": ...}).
 
 Measured (v5e tunnel chip, 7B decode): bf16 51.9 -> int8 92.9 tok/s (the
-int8->bf16 convert fuses into the dot's operand read). int4 measured SLOW
-(9.8 tok/s): the nibble unpack (shifts/select/stack) does not fuse — XLA
-materializes the unpacked matrix every step. int4 needs a fused Pallas
-dequantize-matmul kernel to pay off; until then prefer int8.
+int8->bf16 convert fuses into the dot's operand read). int4 via plain XLA
+is 9.8 tok/s (unpack doesn't fuse); the fused Pallas kernel
+(kernels/int4_matmul.py, used automatically on TPU) reaches 46.1 tok/s —
+int4 is the capacity play (7B in 3.4 GB), int8 the speed play/default.
 """
 from __future__ import annotations
 
@@ -70,9 +70,18 @@ def dequantize(w: Union[jax.Array, Dict[str, jax.Array]]) -> jax.Array:
 
 def matmul_maybe_quantized(x: jax.Array, w) -> jax.Array:
     """x @ w for plain arrays or quantized dicts. The scale applies AFTER the
-    matmul (per output channel) so the dot reads int8 straight from HBM."""
+    matmul (per output channel) so the dot reads int8 straight from HBM.
+    int4 routes through the fused Pallas dequantize-matmul on TPU (the
+    plain-XLA unpack doesn't fuse; see module docstring)."""
     if isinstance(w, dict):
         if "q4" in w:
+            if w["q4"].ndim == 2 and jax.default_backend() == "tpu":
+                from vitron_tpu.kernels.int4_matmul import int4_matmul
+
+                lead = x.shape[:-1]
+                y = int4_matmul(x.reshape(-1, x.shape[-1]), w["q4"],
+                                w["s"].astype(jnp.float32))
+                return y.reshape(lead + (y.shape[-1],))
             q = _unpack_int4(w["q4"])
             s = w["s"]
         else:
