@@ -91,3 +91,29 @@ def test_mpt_forward_shapes():
     logits = mpt.forward(params, cfg, ids)
     assert logits.shape == (1, 10, cfg.vocab_size)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_mpt_cache_matches_full():
+    """Chunked prefill + decode through the KV cache == uncached forward."""
+    from vitron_tpu.models.llm.llama import KVCache
+
+    cfg = mpt.MPTConfig.tiny()
+    params = mpt.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+    full = mpt.forward(params, cfg, ids)
+
+    # llama.KVCache layout works with head_dim/kv_heads == MPT heads
+    import dataclasses as dc
+
+    fake = dc.make_dataclass("C", ["num_layers", "num_kv_heads", "head_dim",
+                                   "compute_dtype", "max_seq_len"])(
+        cfg.n_layers, cfg.n_heads, cfg.head_dim, cfg.compute_dtype, 32)
+    cache = KVCache.create(fake, 2, max_len=32)
+    l1, cache = mpt.forward(params, cfg, ids[:, :8], cache=cache)
+    outs = [l1]
+    for i in range(8, 12):
+        li, cache = mpt.forward(params, cfg, ids[:, i:i + 1], cache=cache)
+        outs.append(li)
+    got = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=3e-4, atol=3e-4)

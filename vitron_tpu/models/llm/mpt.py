@@ -107,22 +107,52 @@ def _ln_nobias(x, scale, eps):
 
 def forward(params: Dict[str, Any], cfg: MPTConfig, token_ids: jax.Array,
             positions: Optional[jax.Array] = None,
-            attn_mask: Optional[jax.Array] = None) -> jax.Array:
-    """Causal prefill: [B, S] -> logits [B, S, V] (tied head)."""
+            attn_mask: Optional[jax.Array] = None,
+            cache=None):
+    """[B, S] -> logits [B, S, V] (tied head).
+
+    Without a cache: causal prefill. With a llama.KVCache: writes this
+    chunk's K/V at cache.index and attends the cache window with the ALiBi
+    bias computed in slot space (contiguous, unpadded sequences — MPT decode
+    assumes slot == position like the reference's past_key_values path,
+    modeling_mpt.py:144+). Returns (logits, new_cache) when cached."""
+    from vitron_tpu.models.llm.llama import KVCache
+
     b, s = token_ids.shape
     x = jnp.take(params["wte"], token_ids, axis=0).astype(cfg.compute_dtype)
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+        if cache is not None:
+            positions = positions + cache.index
     if "wpe" in params:
         x = x + jnp.take(params["wpe"], positions, axis=0).astype(x.dtype)
     if attn_mask is None:
         attn_mask = jnp.ones((b, s), bool)
     nh, hd = cfg.n_heads, cfg.head_dim
     scale = 1.0 / (hd ** 0.5)
-    causal = jnp.tril(jnp.ones((s, s), bool))
-    mask = causal[None, None] & attn_mask[:, None, None, :]
-    bias = alibi_bias(nh, jnp.arange(s), jnp.arange(s), cfg.alibi_bias_max) \
-        if cfg.alibi else jnp.zeros((nh, s, s))
+
+    if cache is None:
+        causal = jnp.tril(jnp.ones((s, s), bool))
+        mask = causal[None, None] & attn_mask[:, None, None, :]
+        bias = alibi_bias(nh, jnp.arange(s), jnp.arange(s), cfg.alibi_bias_max) \
+            if cfg.alibi else jnp.zeros((nh, s, s))
+    else:
+        t = cache.k.shape[2]
+        new_valid = jax.lax.dynamic_update_slice(cache.valid, attn_mask,
+                                                 (0, cache.index))
+        key_pos = jnp.arange(t)[None, None, None, :]
+        q_pos = cache.index + jnp.arange(s)[None, None, :, None]
+        mask = (key_pos <= q_pos) & new_valid[:, None, None, :]
+        bias = alibi_bias(nh, cache.index + jnp.arange(s), jnp.arange(t),
+                          cfg.alibi_bias_max) if cfg.alibi else \
+            jnp.zeros((nh, s, t))
+
+    def attend(q, k, v, tdim):
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(jnp.float32) * scale
+        logits = logits + bias[None]
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, cfg.d_model)
 
     def layer(x, lp):
         xn = _ln_nobias(x, lp["ln1"], cfg.layer_norm_eps)
@@ -131,19 +161,42 @@ def forward(params: Dict[str, Any], cfg: MPTConfig, token_ids: jax.Array,
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, s, nh, hd)
         v = v.reshape(b, s, nh, hd)
-        logits = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(jnp.float32) * scale
-        logits = logits + bias[None]
-        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        att = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, cfg.d_model)
+        att = attend(q, k, v, s)
         x = x + att @ lp["wo"]
         xn = _ln_nobias(x, lp["ln2"], cfg.layer_norm_eps)
         h = jax.nn.gelu(xn @ lp["up"], approximate=False)
         return x + h @ lp["down"], None
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+    def cached_layer(x, inputs):
+        lp, layer_k, layer_v = inputs
+        xn = _ln_nobias(x, lp["ln1"], cfg.layer_norm_eps)
+        qkv = xn @ lp["wqkv"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nh, hd)
+        v = v.reshape(b, s, nh, hd)
+        layer_k = jax.lax.dynamic_update_slice(
+            layer_k, k.astype(layer_k.dtype), (0, cache.index, 0, 0))
+        layer_v = jax.lax.dynamic_update_slice(
+            layer_v, v.astype(layer_v.dtype), (0, cache.index, 0, 0))
+        att = attend(q, layer_k, layer_v, layer_k.shape[1])
+        x = x + att @ lp["wo"]
+        xn = _ln_nobias(x, lp["ln2"], cfg.layer_norm_eps)
+        h = jax.nn.gelu(xn @ lp["up"], approximate=False)
+        x = x + h @ lp["down"]
+        return x, (layer_k, layer_v)
+
+    if cache is None:
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        new_cache = None
+    else:
+        x, (nk, nv) = jax.lax.scan(cached_layer, x, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(k=nk, v=nv, index=cache.index + s, valid=new_valid)
     x = _ln_nobias(x, params["norm_f"], cfg.layer_norm_eps)
-    return (x @ params["wte"].T).astype(jnp.float32)
+    logits = (x @ params["wte"].T).astype(jnp.float32)
+    if cache is None:
+        return logits
+    return logits, new_cache
 
 
 def convert_hf_mpt(state_dict, cfg: MPTConfig) -> Dict[str, Any]:
