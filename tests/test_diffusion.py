@@ -296,3 +296,56 @@ def test_position_net_with_image_parity():
         params, jnp.asarray(boxes), jnp.asarray(masks), jnp.asarray(tmask),
         jnp.asarray(imask), jnp.asarray(temb), jnp.asarray(iemb))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_gligen_style_pipeline_tiny():
+    """Text+image grounded generation end-to-end with a with-image
+    PositionNet and CLIP vision pooled features."""
+    import dataclasses as dc
+
+    from vitron_tpu.models.diffusion import gligen_pipeline as gp
+    from vitron_tpu.models.diffusion import unet2d as u, vae as v, clip_text as ct
+    from vitron_tpu.models.vision import vit
+
+    cfg = gp.GligenConfig.tiny()
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    unet_params = u.init_params(ks[0], cfg.unet, grounding=True)
+    # swap in a with-image position net (style checkpoints carry this)
+    cd = cfg.text.hidden_size
+    pos_dim = 8 * 2 * 4
+
+    def dense(key, cin, cout):
+        return jax.random.normal(key, (cin, cout)) / np.sqrt(cin)
+
+    kk = jax.random.split(ks[5], 6)
+    unet_params["position_net"] = {
+        "null_text": jnp.zeros((cd,)), "null_image": jnp.zeros((cd,)),
+        "null_position": jnp.zeros((pos_dim,)),
+        "text": {"w0": dense(kk[0], cd + pos_dim, 32), "b0": jnp.zeros((32,)),
+                 "w1": dense(kk[1], 32, 32), "b1": jnp.zeros((32,)),
+                 "w2": dense(kk[2], 32, cd), "b2": jnp.zeros((cd,))},
+        "image": {"w0": dense(kk[3], cd + pos_dim, 32), "b0": jnp.zeros((32,)),
+                  "w1": dense(kk[4], 32, 32), "b1": jnp.zeros((32,)),
+                  "w2": dense(kk[5], 32, cd), "b2": jnp.zeros((cd,))},
+    }
+    vcfg = vit.ViTConfig.tiny(hidden_size=24, num_heads=4)
+    vparams = vit.init_params(ks[3], vcfg)
+    vproj = jax.random.normal(ks[4], (24, cd)) * 0.1
+    projm = jax.random.normal(jax.random.PRNGKey(9), (cd, cd)) * 0.1
+
+    pipe = gp.GligenStylePipeline(
+        cfg, unet_params, v.init_params(ks[1], cfg.vae),
+        ct.init_params(ks[2], cfg.text),
+        vision_params=vparams, vision_cfg=vcfg, visual_proj=vproj,
+        projection_matrix=projm, tokenizer=_StubTokenizer())
+    style = jnp.asarray(np.random.RandomState(0).rand(1, 28, 28, 3), jnp.float32)
+    img = pipe.generate_styled(
+        "a vase in this style", boxes=[[0.2, 0.2, 0.8, 0.8]],
+        phrases=["a vase"], style_images=style, rng=jax.random.PRNGKey(1),
+        steps=5)
+    assert img.shape == (32, 32, 3)
+    assert img.dtype == jnp.uint8
+    # reprojection math: norm is exactly 28.7
+    feats = pipe.image_features(style)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=-1),
+                               28.7, rtol=1e-4)

@@ -56,6 +56,42 @@ def _encode_result(result: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+_INDEX_HTML = """<!doctype html>
+<html><head><title>vitron-tpu</title><style>
+body{font-family:sans-serif;max-width:760px;margin:2em auto;padding:0 1em}
+textarea,input{width:100%;margin:.3em 0}#out{white-space:pre-wrap;
+background:#f6f6f6;padding:1em;border-radius:6px}img{max-width:100%}
+</style></head><body>
+<h2>vitron-tpu</h2>
+<p>Unified pixel-level vision LLM — chat, segment, generate, edit, track.</p>
+<textarea id="prompt" rows="3" placeholder="Ask something, or request a task
+(segment the dog / draw a red cube at ... / make a video of ...)"></textarea>
+<input type="file" id="image" accept="image/*">
+<label><input type="checkbox" id="greedy"> greedy</label>
+<button onclick="send()">Send</button>
+<div id="out"></div><div id="media"></div>
+<script>
+async function send(){
+  const out=document.getElementById('out'); out.textContent='...';
+  const media=document.getElementById('media'); media.innerHTML='';
+  const body={prompt:document.getElementById('prompt').value,
+              greedy:document.getElementById('greedy').checked};
+  const f=document.getElementById('image').files[0];
+  if(f){body.image=await new Promise(r=>{const fr=new FileReader();
+    fr.onload=()=>r(fr.result.split(',')[1]);fr.readAsDataURL(f);});}
+  const resp=await fetch('/chat',{method:'POST',
+    headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
+  const j=await resp.json();
+  out.textContent=JSON.stringify({status:j.status,task:j.task,text:j.text||j.raw,
+                                  error:j.error},null,2);
+  for(const k of ['image','mask']) if(j[k])
+    media.innerHTML+=`<img src="data:image/png;base64,${j[k]}">`;
+  if(j.video_frames) for(const fimg of j.video_frames)
+    media.innerHTML+=`<img src="data:image/png;base64,${fimg}" width=160>`;
+}
+</script></body></html>"""
+
+
 def make_handler(system):
     from vitron_tpu.runtime.generation import SamplingConfig
 
@@ -75,6 +111,13 @@ def make_handler(system):
             if self.path == "/health":
                 self._send(200, {"status": "ok",
                                  "backends": system.registry.available()})
+            elif self.path in ("/", "/index.html"):
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "unknown path"})
 

@@ -205,3 +205,99 @@ class GligenPipeline:
         img = vae.decode(self.vae_params, cfg.vae, x / SD_SCALE_FACTOR)[0]
         img = jnp.clip(img, -1, 1) * 0.5 + 0.5
         return (img * 255).astype(jnp.uint8)
+
+
+def reproject_image_feature(feature: jax.Array,
+                            projection_matrix: jax.Array) -> jax.Array:
+    """GLIGEN 'after_reproject' image-feature transform
+    (task_grounded_generation.py:110-116): project through the learned
+    matrix (transposed), L2-normalize, scale to norm 28.7."""
+    f = feature @ projection_matrix.T
+    f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
+    return f * 28.7
+
+
+class GligenStylePipeline(GligenPipeline):
+    """Text+image-grounded (style) generation: the third reference pipeline
+    (demo/app.py:84-91, positionnet_with_image). Needs an is_style UNet
+    checkpoint, the CLIP vision tower + visual projection, and GLIGEN's
+    projection_matrix."""
+
+    def __init__(self, cfg, unet_params, vae_params, text_params,
+                 vision_params=None, vision_cfg=None, visual_proj=None,
+                 projection_matrix=None, tokenizer=None):
+        super().__init__(cfg, unet_params, vae_params, text_params,
+                         tokenizer=tokenizer)
+        self.vision_params = vision_params
+        self.vision_cfg = vision_cfg
+        self.visual_proj = visual_proj
+        self.projection_matrix = projection_matrix
+
+    def image_features(self, images: jax.Array) -> jax.Array:
+        """[N, S, S, 3] preprocessed style crops -> [N, 768] grounding
+        features (pooled CLIP embeds, reprojected + renormed)."""
+        from vitron_tpu.models.vision import vit
+
+        pooled = vit.forward_pooled(self.vision_params, self.vision_cfg,
+                                    images, self.visual_proj)
+        if self.projection_matrix is not None:
+            pooled = reproject_image_feature(pooled, self.projection_matrix)
+        return pooled
+
+    def generate_styled(self, prompt, boxes, phrases, style_images,
+                        has_text_mask=1.0, has_image_mask=1.0,
+                        negative_prompt="", guidance_scale=7.5,
+                        alpha_type=(0.3, 0.0, 0.7), rng=None,
+                        steps=None):
+        """Grounded generation with per-box text AND image features
+        (fire_clip with images, task_grounded_generation.py:138-181)."""
+        import numpy as np
+
+        from vitron_tpu.models.diffusion import samplers, unet2d, vae as vae_mod
+        from vitron_tpu.models.diffusion.layers import position_net_with_image
+        from vitron_tpu.models.diffusion.vae import SD_SCALE_FACTOR
+
+        cfg = self.cfg
+        steps = steps or cfg.steps
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        context = self.encode_prompt(self.tokenize([prompt]))
+        uc = self.encode_prompt(self.tokenize([negative_prompt]))
+        pooled_t = self.pooled_text_features(self.tokenize(list(phrases)))
+        pooled_i = self.image_features(style_images)
+        n = len(boxes)
+        mo, cd = cfg.max_objs, cfg.text.hidden_size
+        gb = np.zeros((mo, 4), np.float32)
+        gm = np.zeros((mo,), np.float32)
+        gt = np.zeros((mo, cd), np.float32)
+        gi = np.zeros((mo, cd), np.float32)
+        for i in range(min(n, mo)):
+            gb[i] = np.asarray(boxes[i], np.float32)
+            gm[i] = 1.0
+            gt[i] = np.asarray(pooled_t)[min(i, pooled_t.shape[0] - 1)]
+            gi[i] = np.asarray(pooled_i)[min(i, pooled_i.shape[0] - 1)]
+        tm = gm * has_text_mask
+        im = gm * has_image_mask
+        objs = position_net_with_image(
+            self.unet_params["position_net"],
+            jnp.asarray(gb)[None], jnp.asarray(gm)[None], jnp.asarray(tm)[None],
+            jnp.asarray(im)[None], jnp.asarray(gt)[None], jnp.asarray(gi)[None])
+        objs2 = jnp.concatenate([objs, objs], axis=0)
+        ctx2 = jnp.concatenate([context, uc], axis=0)
+
+        def eps(x, t, gate):
+            xx = jnp.concatenate([x, x], axis=0)
+            tt = jnp.broadcast_to(jnp.asarray(t), (2,))
+            out = unet2d.forward(self.unet_params, cfg.unet, xx, tt, ctx2,
+                                 objs2, gate)
+            e_c, e_uc = jnp.split(out, 2, axis=0)
+            return e_uc + guidance_scale * (e_c - e_uc)
+
+        sched = samplers.DiffusionSchedule.create("linear", 1000, 0.00085, 0.012)
+        gates = samplers.alpha_generator(steps, tuple(alpha_type))
+        rng, k = jax.random.split(rng)
+        x = jax.random.normal(k, (1, cfg.latent_size, cfg.latent_size,
+                                  cfg.unet.out_channels), jnp.float32)
+        x = samplers.plms_sample(eps, x, sched, steps, rng=rng, gate_alphas=gates)
+        img = vae_mod.decode(self.vae_params, cfg.vae, x / SD_SCALE_FACTOR)[0]
+        img = jnp.clip(img, -1, 1) * 0.5 + 0.5
+        return (img * 255).astype(jnp.uint8)

@@ -209,6 +209,28 @@ def forward_features(params, cfg: ViTConfig, pixels: jax.Array) -> jax.Array:
     return x[:, 1:]  # drop CLS
 
 
+def forward_pooled(params, cfg: ViTConfig, pixels: jax.Array,
+                   visual_proj: jax.Array = None) -> jax.Array:
+    """CLIP pooled image embedding: run ALL layers, post-LN CLS token,
+    optional visual projection (HF CLIPModel.get_image_features). Used by
+    GLIGEN's image-grounding feature extractor
+    (task_grounded_generation.py:100-116)."""
+    x = embed(params, cfg, pixels)
+    x = layer_norm(x, params["pre_ln"], cfg.layer_norm_eps)
+
+    def body(x, lp):
+        x = x + _mha(layer_norm(x, lp["ln1"], cfg.layer_norm_eps), lp["attn"], cfg.num_heads)
+        xn = layer_norm(x, lp["ln2"], cfg.layer_norm_eps)
+        x = x + quick_gelu(xn @ lp["fc1"] + lp["b1"]) @ lp["fc2"] + lp["b2"]
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    pooled = layer_norm(x[:, 0], params["post_ln"], cfg.layer_norm_eps)
+    if visual_proj is not None:
+        pooled = pooled @ visual_proj
+    return pooled
+
+
 def forward_video_features(params, cfg: ViTConfig, pixels: jax.Array) -> jax.Array:
     """Video tower: [B, T, H, W, 3] -> [B, T, num_patches, hidden].
 
