@@ -182,16 +182,37 @@ class PagedServer:
                 PagedPool(k=k, v=v, block_size=block_size, free=[]),
                 table, lengths))
 
-    def add_request(self, prompt_ids: List[int]) -> int:
-        """Prefill a new sequence token-by-token via the paged path (a
-        production build would run a chunked prefill kernel)."""
+    def add_request(self, prompt_ids: List[int],
+                    chunk: Optional[int] = None) -> int:
+        """Prefill a new sequence with ONE dense-cache forward (padded to a
+        `chunk` bucket for compile reuse), then copy its K/V into pool
+        blocks — a request costs one prefill program + one scatter instead
+        of len(prompt) decode steps."""
+        import math
+
+        from vitron_tpu.models.llm import llama as llama_mod
+
         sid = self._next_id
         self._next_id += 1
-        self.seqs[sid] = PagedSequence(blocks=[])
-        self.last_token[sid] = prompt_ids[0]
-        for tok in prompt_ids[1:]:
-            self.step({sid: None})  # extend with current last token
-            self.last_token[sid] = tok
+        seq = PagedSequence(blocks=[])
+        self.seqs[sid] = seq
+        n = len(prompt_ids) - 1  # the last prompt token decodes next step
+        self.last_token[sid] = prompt_ids[-1]
+        if n == 0:
+            return sid
+        bucket = chunk or self.pool.block_size * max(
+            1, math.ceil(n / self.pool.block_size))
+        ids = jnp.zeros((1, bucket), jnp.int32).at[0, :n].set(
+            jnp.asarray(prompt_ids[:n]))
+        mask = jnp.zeros((1, bucket), bool).at[0, :n].set(True)
+        pos = jnp.broadcast_to(jnp.arange(bucket), (1, bucket))
+        cache = llama_mod.KVCache.create(self.cfg, 1, max_len=bucket)
+        _, cache = llama_mod.forward_tokens(
+            self.params, self.cfg, ids, positions=pos, attn_mask=mask,
+            cache=cache)
+        # scatter the dense K/V into pool blocks
+        self.pool = write_tokens(self.pool, seq,
+                                 cache.k[:, 0, :n], cache.v[:, 0, :n])
         return sid
 
     def step(self, only: Optional[Dict[int, Any]] = None) -> Dict[int, int]:
