@@ -162,3 +162,24 @@ def test_sharded_forward_8dev():
 
     logits = step(params, ids, pos)
     assert logits.shape == (4, 8, cfg.vocab_size)
+
+
+def test_remat_forward_and_grad():
+    """remat=True (gradient checkpointing, the reference's
+    --gradient_checkpointing flag, finetune_lora.sh:42) must not change
+    logits and must be differentiable."""
+    cfg = LlamaConfig.tiny()
+    cfg_r = LlamaConfig.tiny(remat=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.arange(12)[None] % cfg.vocab_size
+    pos = jnp.arange(12)[None]
+    a, _ = forward_tokens(params, cfg, ids, positions=pos)
+    b, _ = forward_tokens(params, cfg_r, ids, positions=pos)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def loss(p):
+        logits, _ = forward_tokens(p, cfg_r, ids, positions=pos)
+        return jnp.mean(logits ** 2)
+
+    g = jax.grad(loss)(params)
+    assert bool(jnp.isfinite(g["layers"]["wq"]).all())
