@@ -349,3 +349,70 @@ def test_sketch_and_visualize():
     assert out.shape == img.shape
     out2 = vz.draw_boxes(img, [[2, 2, 10, 10]], labels=["dog"])
     assert out2.shape == img.shape
+
+
+def test_resnet_parity():
+    """Bottleneck ResNet vs a torch replica (eval-mode BN running stats)."""
+    import torch.nn as tnn
+
+    from vitron_tpu.models.seem import resnet
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            mid = cout // 4
+            self.conv1 = tnn.Conv2d(cin, mid, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(mid)
+            self.conv2 = tnn.Conv2d(mid, mid, 3, stride=stride, padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(mid)
+            self.conv3 = tnn.Conv2d(mid, cout, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(cout)
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(cout)) if (cin != cout or stride != 1) else None
+
+        def forward(self, x):
+            out = torch.relu(self.bn1(self.conv1(x)))
+            out = torch.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            sc = self.downsample(x) if self.downsample is not None else x
+            return torch.relu(out + sc)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(8)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = tnn.Sequential(Bottleneck(8, 16, 1))
+            self.layer2 = tnn.Sequential(Bottleneck(16, 32, 2))
+
+        def forward(self, x):
+            x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            r2 = self.layer1(x)
+            r3 = self.layer2(r2)
+            return r2, r3
+
+    torch.manual_seed(0)
+    net = Net()
+    # randomize BN running stats so frozen-BN math is actually exercised
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+    net.eval()
+
+    cfg = resnet.ResNetConfig.tiny()
+    sd = {f"backbone.{k}": v for k, v in net.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, resnet.convert_torch(sd, cfg))
+    x = np.random.RandomState(0).randn(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        r2, r3 = net(torch.tensor(x))
+    got = resnet.forward(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got[0]).transpose(0, 3, 1, 2),
+                               r2.numpy(), rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got[1]).transpose(0, 3, 1, 2),
+                               r3.numpy(), rtol=3e-4, atol=3e-4)
