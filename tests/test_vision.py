@@ -180,3 +180,25 @@ def test_projector_parity():
         want = seq(torch.tensor(x)).numpy()
     got = projector.apply(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_folded_normalization_equals_preprocessing():
+    """Tower with normalization folded into patch_proj on RAW pixels ==
+    tower on preprocessed pixels (zero-cost preprocessing)."""
+    from vitron_tpu.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+    from vitron_tpu.models.vision.vit import fold_normalization_into_patch_proj
+
+    cfg = ViTConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    raw = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (2, 28, 28, 3), np.uint8))
+    mean = jnp.asarray(OPENAI_DATASET_MEAN)
+    std = jnp.asarray(OPENAI_DATASET_STD)
+    normed = (raw.astype(jnp.float32) / 255.0 - mean) / std
+
+    want = forward_features(params, cfg, normed)
+    folded = fold_normalization_into_patch_proj(
+        params, cfg, OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)
+    got = forward_features(folded, cfg, raw.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)

@@ -173,8 +173,12 @@ def patchify(pixels: jax.Array, cfg: ViTConfig) -> jax.Array:
 
 
 def embed(params, cfg, pixels):
-    """[B, H, W, 3] -> [B, N+1, H] (CLS + patches + position embeddings)."""
+    """[B, H, W, 3] -> [B, N+1, H] (CLS + patches + position embeddings).
+    If the params carry a folded normalization ("patch_bias" present, see
+    fold_normalization_into_patch_proj), pixels should be RAW [0, 255]."""
     x = patchify(pixels.astype(cfg.compute_dtype), cfg) @ params["patch_proj"]
+    if "patch_bias" in params:
+        x = x + params["patch_bias"].astype(x.dtype)
     b = x.shape[0]
     cls = jnp.broadcast_to(params["class_emb"], (b, 1, cfg.hidden_size)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
@@ -264,3 +268,37 @@ def forward_video_features(params, cfg: ViTConfig, pixels: jax.Array) -> jax.Arr
     x, _ = jax.lax.scan(body, x, layers)
     x = x[:, 1:]  # drop CLS per frame
     return x.reshape(b, t, n_tok - 1, h)
+
+
+def fold_normalization_into_patch_proj(params, cfg: ViTConfig,
+                                       mean, std, scale255: bool = True):
+    """Fold `(x/255 - mean)/std` into the patch projection so the tower
+    consumes RAW uint8 pixels with ZERO preprocessing ops.
+
+    out = norm(x)_patch @ W + pos  where norm is per-channel affine
+        = (x_patch * a) @ W + (b_vec @ W) ... with a = 1/(255*std) folded
+    into W's input rows (which are ordered (ph, pw, c)) and the constant
+    shift folded into a new additive bias. The reference runs this
+    arithmetic per-pixel on the CPU for every image
+    (processing_image.py:40-55); here it costs nothing — the MXU does it as
+    part of the patchify matmul.
+
+    Returns a params tree whose patch_proj expects raw [0,255] pixels, with
+    an extra "patch_bias" [hidden] entry applied by forward when present.
+    """
+    import numpy as np
+
+    w = np.asarray(params["patch_proj"], np.float32)  # [(P*P*3), H]
+    p = cfg.patch_size
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    a = 1.0 / std / (255.0 if scale255 else 1.0)      # per-channel scale
+    shift = -mean / std                               # per-channel shift
+    w_rows = w.reshape(p * p, 3, cfg.hidden_size)
+    w_folded = (w_rows * a[None, :, None]).reshape(p * p * 3, cfg.hidden_size)
+    bias = (np.tile(shift, p * p)[None] @ w).reshape(-1)
+    out = dict(params)
+    out["patch_proj"] = jnp.asarray(w_folded).astype(
+        jnp.asarray(params["patch_proj"]).dtype)
+    out["patch_bias"] = jnp.asarray(bias).astype(out["patch_proj"].dtype)
+    return out
