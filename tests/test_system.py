@@ -138,3 +138,36 @@ def test_end_to_end_chat_with_real_engine(tiny_cfg):
                                             eos_ids=()))
     assert out["status"] == "chat"
     assert len(out["reply"]["raw"]) > 0
+
+
+def test_multiturn_history_and_stop_string(tiny_cfg):
+    """Multi-turn chat through VitronEngine with a tokenizer whose decode
+    emits the conv stop string: generation must halt early via the
+    KeywordStopper (mm_utils.py:146-177 semantics)."""
+    from vitron_tpu.runtime.engine import VitronEngine
+    from vitron_tpu.runtime.generation import SamplingConfig
+
+    class StopTok:
+        bos_token_id = 1
+        eos_token_id = 2
+
+        def __call__(self, s):
+            class R:
+                pass
+
+            r = R()
+            r.input_ids = [1] + [abs(hash(w)) % 200 + 10 for w in s.split()]
+            return r
+
+        def decode(self, ids, skip_special_tokens=True):
+            # every 4th generated token decodes as the llava_v1 stop "</s>"
+            return " ".join("</s>" if t % 4 == 0 else f"w{t}" for t in ids)
+
+    params = vitron_model.init_params(jax.random.PRNGKey(0), tiny_cfg)
+    engine = VitronEngine(params, tiny_cfg, StopTok())
+    out = engine.chat(
+        "hello", history=[("hi", "hello there"), ("how are you", "fine")],
+        sampling=SamplingConfig(greedy=True, max_new_tokens=64, eos_ids=()))
+    # stopper checks every 8 tokens; far fewer than 64 should be produced
+    n_tokens = len(out["raw"].split())
+    assert n_tokens < 64
