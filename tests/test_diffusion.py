@@ -349,3 +349,67 @@ def test_gligen_style_pipeline_tiny():
     feats = pipe.image_features(style)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=-1),
                                28.7, rtol=1e-4)
+
+
+def test_gligen_checkpoint_bundle_roundtrip(ref_openaimodel, tmp_path):
+    """Save a reference-layout .pth bundle (model/autoencoder/text_encoder
+    state dicts) and load it through load_gligen_checkpoint; the loaded UNet
+    must match the torch forward."""
+    import transformers
+
+    from vitron_tpu.models.diffusion import gligen_pipeline as gp
+
+    torch.manual_seed(0)
+    ref_unet = ref_openaimodel.UNetModel(
+        image_size=8, in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=1, attention_resolutions=(1, 2), channel_mult=(1, 2),
+        num_heads=2, transformer_depth=1, positive_len=16, context_dim=16,
+        fuser_type="gatedSA", use_checkpoint=False).eval()
+    vae_mod_ref = load_reference_package_module(
+        "modules.GLIGEN.demo.gligen.ldm.modules.diffusionmodules.model")
+    enc = vae_mod_ref.Encoder(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                              attn_resolutions=(), dropout=0.0, in_channels=3,
+                              resolution=32, z_channels=4, double_z=True)
+    dec = vae_mod_ref.Decoder(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                              attn_resolutions=(), dropout=0.0, in_channels=3,
+                              resolution=32, z_channels=4)
+    quant = torch.nn.Conv2d(8, 8, 1)
+    post_quant = torch.nn.Conv2d(4, 4, 1)
+    vae_sd = {}
+    vae_sd.update({f"encoder.{k}": v for k, v in enc.state_dict().items()})
+    vae_sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+    vae_sd.update({f"quant_conv.{k}": v for k, v in quant.state_dict().items()})
+    vae_sd.update({f"post_quant_conv.{k}": v for k, v in post_quant.state_dict().items()})
+
+    text = transformers.CLIPTextModel(transformers.CLIPTextConfig(
+        vocab_size=128, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=16,
+        hidden_act="quick_gelu")).eval()
+
+    bundle = {"model": ref_unet.state_dict(), "autoencoder": vae_sd,
+              "text_encoder": {f"transformer.{k}": v
+                               for k, v in text.state_dict().items()}}
+    path = tmp_path / "gligen_tiny.pth"
+    torch.save(bundle, str(path))
+
+    cfg = gp.GligenConfig.tiny()
+    unet_params, vae_params, text_params = gp.load_gligen_checkpoint(str(path), cfg)
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(1, 4, 8, 8).astype(np.float32)
+    ctx = rs.randn(1, 7, 16).astype(np.float32)
+    boxes = np.zeros((1, 3, 4), np.float32)
+    masks = np.zeros((1, 3), np.float32)
+    temb = np.zeros((1, 3, 16), np.float32)
+    with torch.no_grad():
+        want = ref_unet({"x": torch.tensor(x), "timesteps": torch.tensor([300]),
+                         "context": torch.tensor(ctx), "boxes": torch.tensor(boxes),
+                         "masks": torch.tensor(masks),
+                         "text_embeddings": torch.tensor(temb)}).numpy()
+    params = jax.tree.map(jnp.asarray, unet_params)
+    objs = unet2d.grounding_tokens(params, jnp.asarray(boxes), jnp.asarray(masks),
+                                   jnp.asarray(temb))
+    got = unet2d.forward(params, cfg.unet, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         jnp.asarray([300]), jnp.asarray(ctx), objs)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=2e-4, atol=2e-4)

@@ -301,3 +301,29 @@ class GligenStylePipeline(GligenPipeline):
         img = vae_mod.decode(self.vae_params, cfg.vae, x / SD_SCALE_FACTOR)[0]
         img = jnp.clip(img, -1, 1) * 0.5 + 0.5
         return (img * 255).astype(jnp.uint8)
+
+
+def load_gligen_checkpoint(path: str, cfg: GligenConfig, inpaint: bool = False):
+    """Load a GLIGEN .pth bundle (reference load_ckpt,
+    task_grounded_generation.py:67-82: dict with 'model' (UNet),
+    'autoencoder', 'text_encoder' state dicts + an OmegaConf 'config'
+    pickled alongside) -> (unet_params, vae_params, text_params).
+
+    The UNet converter accepts both grounding variants; pass inpaint=True
+    for the 9-channel inpainting checkpoint (the converter reads channel
+    counts from the weights via the block plan of `cfg`)."""
+    import dataclasses as dc
+
+    import torch
+
+    from vitron_tpu.models.diffusion import clip_text as ct
+    from vitron_tpu.models.diffusion import unet2d as u
+    from vitron_tpu.models.diffusion import vae as v
+
+    bundle = torch.load(path, map_location="cpu", weights_only=False)
+    ucfg = dc.replace(cfg.unet, in_channels=9) if inpaint else cfg.unet
+    unet_params = u.convert_ldm_unet(
+        {k: vv for k, vv in bundle["model"].items()}, ucfg)
+    vae_params = v.convert_ldm_vae(bundle["autoencoder"], cfg.vae)
+    text_params = ct.convert_hf_clip_text(bundle["text_encoder"], cfg.text)
+    return unet_params, vae_params, text_params
