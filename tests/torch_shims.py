@@ -128,6 +128,28 @@ def install():
 
             return ImageList(th.stack(list(tensors)), [t.shape[-2:] for t in tensors])
 
+    # ---- omegaconf (configurable decorator probes DictConfig)
+    oc = mod("omegaconf")
+
+    class DictConfig(dict):
+        pass
+
+    oc.DictConfig = DictConfig
+    oc.OmegaConf = types.SimpleNamespace(create=lambda *a, **k: DictConfig(*a))
+
+    # ---- torchvision (only box_area & version attr are touched)
+    tv = mod("torchvision")
+    tv_ops = mod("torchvision.ops")
+    tv_boxes = mod("torchvision.ops.boxes")
+
+    def box_area(boxes):
+        return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+    tv_boxes.box_area = box_area
+    tv_ops.boxes = tv_boxes
+    tv.ops = tv_ops
+    tv.__version__ = "0.0-shim"
+
     d2_modeling.BACKBONE_REGISTRY = _Registry()
     d2_modeling.Backbone = nn.Module
     d2_modeling.ShapeSpec = ShapeSpec
@@ -135,7 +157,57 @@ def install():
     d2_layers.ShapeSpec = ShapeSpec
     d2_layers.get_norm = get_norm
     d2_layers.DeformConv = nn.Conv2d  # unused path
+    d2_layers.cat = lambda tensors, dim=0: torch.cat(tensors, dim)
+    d2_layers.shapes_to_tensor = lambda x, device=None: torch.as_tensor(x, device=device)
+    d2_layers.batched_nms = lambda boxes, scores, idxs, thr: torch.arange(len(scores))
+    d2_layers.nonzero_tuple = lambda x: torch.nonzero(x, as_tuple=True)
+    d2_layers.move_device_like = lambda src, dst: src
+    d2_layers.interpolate = F.interpolate
+    d2_layers.ConvTranspose2d = nn.ConvTranspose2d
+    d2_layers.BatchNorm2d = nn.BatchNorm2d
+    d2_layers.Linear = nn.Linear
+    class Instances:
+        def __init__(self, image_size, **kwargs):
+            self._image_size = image_size
+            for k, v in kwargs.items():
+                setattr(self, k, v)
+
+    class Boxes:
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+    class BitMasks:
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+        def get_bounding_boxes(self):
+            return Boxes(torch.zeros(self.tensor.shape[0], 4))
+
     d2_structures.ImageList = ImageList
+    d2_structures.Instances = Instances
+    d2_structures.Boxes = Boxes
+    d2_structures.BitMasks = BitMasks
+    d2_structures.ROIMasks = BitMasks
+    d2_structures.PolygonMasks = BitMasks
+
+    d2_data = mod("detectron2.data")
+
+    class _Metadata:
+        def get(self, name, default=None):
+            return default
+
+    d2_data.MetadataCatalog = types.SimpleNamespace(get=lambda name: _Metadata())
+    d2.data = d2_data
+    d2_utils_mem = mod("detectron2.utils.memory")
+    d2_utils_mem.retry_if_cuda_oom = lambda f: f
+    d2_utils.memory = d2_utils_mem
+    d2_utils_vis = mod("detectron2.utils.visualizer")
+    d2_utils_vis.Visualizer = object
+    d2_utils_vis.ColorMode = types.SimpleNamespace(IMAGE=0, SEGMENTATION=1)
+    d2_utils.visualizer = d2_utils_vis
+    d2_proj = mod("detectron2.projects")
+    d2_proj_pc = mod("detectron2.projects.point_rend")
+    d2.projects = d2_proj
     d2.utils = d2_utils
     d2.modeling = d2_modeling
     d2.layers = d2_layers

@@ -184,10 +184,18 @@ def forward(
     output = jnp.broadcast_to(params["query_feat"][None], (1, nq, d))
     query_pos = jnp.broadcast_to(params["query_embed"][None], (1, nq, d))
 
+    # grounding tokens are set ONCE and EVOLVE through self-attention across
+    # layers, with their position embedding frozen at the original values
+    # (seem.py:483-487 + attention_data_struct.update_variables); spatial /
+    # visual tokens re-seed from their per-level sources every layer
+    # (seem.py:519-533).
+    g_state = grounding_tokens[None] if grounding_tokens is not None else None
+    g_pos = grounding_tokens[None] if grounding_tokens is not None else None
+
     groups: List[Tuple[str, int, Optional[jax.Array], Any]] = []
     if grounding_tokens is not None:
         groups.append(("grounding", grounding_tokens.shape[0], grounding_valid,
-                       lambda lvl: grounding_tokens))
+                       None))
     if spatial_queries is not None:
         groups.append(("spatial", spatial_queries[0].shape[0], spatial_valid,
                        lambda lvl: spatial_queries[lvl]))
@@ -205,8 +213,10 @@ def forward(
         m = jax.nn.relu(m @ me["w1"] + me["b1"])
         m = m @ me["w2"] + me["b2"]
         masks = jnp.einsum("bqc,bhwc->bqhw", m, mask_features)
-        # cross-attn mask for next layer at `size`
-        am = jax.image.resize(masks, masks.shape[:2] + size, method="linear")
+        # cross-attn mask for next layer at `size`; antialias off to match
+        # F.interpolate(mode='bilinear') (seem.py:565)
+        am = jax.image.resize(masks, masks.shape[:2] + size, method="linear",
+                              antialias=False)
         am = jax.nn.sigmoid(am.reshape(1, nq, -1)) < 0.5
         # unblock fully-blocked rows (seem.py attention_data_struct:185)
         all_blocked = jnp.all(am, axis=-1, keepdims=True)
@@ -229,9 +239,13 @@ def forward(
         toks = [output]
         tok_pos = [query_pos]
         for name, size, valid, get in groups:
-            t = get(lvl)[None]
-            toks.append(t)
-            tok_pos.append(t)  # tokens use themselves as pos (detached copy in ref)
+            if name == "grounding":
+                toks.append(g_state)
+                tok_pos.append(g_pos)
+            else:
+                t = get(lvl)[None]
+                toks.append(t)
+                tok_pos.append(t)  # pos = detached copy at set time (ref)
         cat = jnp.concatenate(toks, axis=1)
         cat_pos = jnp.concatenate(tok_pos, axis=1)
         qk = cat + cat_pos
@@ -243,8 +257,8 @@ def forward(
         h2 = jax.nn.relu(cat @ f["fc1_w"] + f["fc1_b"]) @ f["fc2_w"] + f["fc2_b"]
         cat = _ln(cat + h2, f["norm"])
         output = cat[:, :nq]
-        # token groups are re-seeded from their sources each layer (the
-        # reference updates them but levels re-set spatial/visual tokens)
+        if g_state is not None:
+            g_state = cat[:, nq:nq + g_state.shape[1]]
 
         class_embed, masks, maskemb, attn_mask = prediction_heads(
             output, sizes[(li + 1) % nl])

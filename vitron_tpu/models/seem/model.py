@@ -255,6 +255,11 @@ def convert_decoder_torch(sd, cfg: dec.SeemDecoderConfig,
             "w2": np.ascontiguousarray(g("mask_embed.layers.2.weight").T),
             "b2": g("mask_embed.layers.2.bias"),
         },
-        "mask_spatial_embed": [g(f"mask_sptial_embed.{i}")
-                               for i in range(cfg.num_feature_levels)],
+        # present only when the checkpoint was built with spatial on
+        # (task_switch['spatial'], seem.py:339-346)
+        "mask_spatial_embed": [
+            g(f"mask_sptial_embed.{i}")
+            if (prefix + f"mask_sptial_embed.{i}") in sd
+            else np.zeros((cfg.hidden_dim, cfg.hidden_dim), np.float32)
+            for i in range(cfg.num_feature_levels)],
     }
