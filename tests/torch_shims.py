@@ -48,6 +48,171 @@ def install():
     timm.models = timm_models
     timm_models.layers = layers
 
+    # ---- timm.create_model: minimal replicas of the backbones the vendored
+    # MiDaS vit.py builds (vit_base_resnet50_384 hybrid). State-dict names
+    # mirror real timm so converters built against this also load real ckpts.
+    import math
+    from collections import OrderedDict
+
+    def _pad_same(x, k, s, d=1, value=0.0):
+        ih, iw = x.shape[-2:]
+
+        def _amount(i):
+            return max((math.ceil(i / s) - 1) * s + (k - 1) * d + 1 - i, 0)
+
+        ph, pw = _amount(ih), _amount(iw)
+        return F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2], value=value)
+
+    class StdConv2dSame(nn.Conv2d):
+        def __init__(self, in_c, out_c, k, stride=1, eps=1e-8):
+            super().__init__(in_c, out_c, k, stride=stride, padding=0, bias=False)
+            self.eps = eps
+
+        def forward(self, x):
+            w = F.batch_norm(
+                self.weight.reshape(1, self.out_channels, -1), None, None,
+                training=True, momentum=0.0, eps=self.eps).reshape_as(self.weight)
+            x = _pad_same(x, self.kernel_size[0], self.stride[0])
+            return F.conv2d(x, w, None, self.stride)
+
+    class MaxPool2dSame(nn.Module):
+        def forward(self, x):
+            return F.max_pool2d(_pad_same(x, 3, 2, value=float("-inf")), 3, 2)
+
+    class GroupNormAct(nn.GroupNorm):
+        def __init__(self, ch, groups=32, apply_act=True):
+            super().__init__(groups, ch)
+            self.apply_act = apply_act
+
+        def forward(self, x):
+            x = super().forward(x)
+            return F.relu(x) if self.apply_act else x
+
+    class _Downsample(nn.Module):
+        def __init__(self, cin, cout, stride, groups):
+            super().__init__()
+            self.conv = StdConv2dSame(cin, cout, 1, stride)
+            self.norm = GroupNormAct(cout, groups, apply_act=False)
+
+        def forward(self, x):
+            return self.norm(self.conv(x))
+
+    class _RNBottleneck(nn.Module):
+        def __init__(self, cin, cout, stride, groups):
+            super().__init__()
+            mid = cout // 4
+            self.downsample = (_Downsample(cin, cout, stride, groups)
+                               if cin != cout or stride != 1 else None)
+            self.conv1 = StdConv2dSame(cin, mid, 1)
+            self.norm1 = GroupNormAct(mid, groups)
+            self.conv2 = StdConv2dSame(mid, mid, 3, stride)
+            self.norm2 = GroupNormAct(mid, groups)
+            self.conv3 = StdConv2dSame(mid, cout, 1)
+            self.norm3 = GroupNormAct(cout, groups, apply_act=False)
+
+        def forward(self, x):
+            sc = x if self.downsample is None else self.downsample(x)
+            x = self.norm1(self.conv1(x))
+            x = self.norm2(self.conv2(x))
+            x = self.norm3(self.conv3(x))
+            return F.relu(x + sc)
+
+    class _RNStage(nn.Module):
+        def __init__(self, cin, cout, n, stride, groups):
+            super().__init__()
+            self.blocks = nn.Sequential(*[
+                _RNBottleneck(cin if i == 0 else cout, cout,
+                              stride if i == 0 else 1, groups)
+                for i in range(n)])
+
+        def forward(self, x):
+            return self.blocks(x)
+
+    class _ResNetV2(nn.Module):
+        def __init__(self, layers=(3, 4, 9), channels=(256, 512, 1024),
+                     stem_w=64, groups=32):
+            super().__init__()
+            self.stem = nn.Sequential(OrderedDict([
+                ("conv", StdConv2dSame(3, stem_w, 7, 2)),
+                ("norm", GroupNormAct(stem_w, groups)),
+                ("pool", MaxPool2dSame()),
+            ]))
+            stages, cin = [], stem_w
+            for i, (n, cout) in enumerate(zip(layers, channels)):
+                stages.append(_RNStage(cin, cout, n, 1 if i == 0 else 2, groups))
+                cin = cout
+            self.stages = nn.Sequential(*stages)
+
+        def forward(self, x):
+            return self.stages(self.stem(x))
+
+    class _HybridEmbed(nn.Module):
+        def __init__(self, backbone, feat_dim, embed_dim):
+            super().__init__()
+            self.backbone = backbone
+            self.proj = nn.Conv2d(feat_dim, embed_dim, 1)
+
+        def forward(self, x):
+            return self.proj(self.backbone(x)).flatten(2).transpose(1, 2)
+
+    class _Attn(nn.Module):
+        def __init__(self, dim, heads):
+            super().__init__()
+            self.num_heads = heads
+            self.qkv = nn.Linear(dim, dim * 3, bias=True)
+            self.proj = nn.Linear(dim, dim)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            h = self.num_heads
+            qkv = self.qkv(x).reshape(b, n, 3, h, c // h).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            a = (q @ k.transpose(-2, -1)) * (c // h) ** -0.5
+            a = a.softmax(dim=-1)
+            return self.proj((a @ v).transpose(1, 2).reshape(b, n, c))
+
+    class _Mlp(nn.Module):
+        def __init__(self, dim, hidden):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, hidden)
+            self.act = nn.GELU()
+            self.fc2 = nn.Linear(hidden, dim)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class _ViTBlock(nn.Module):
+        def __init__(self, dim, heads, mlp):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+            self.attn = _Attn(dim, heads)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+            self.mlp = _Mlp(dim, mlp)
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class _HybridViT(nn.Module):
+        def __init__(self, depth=12, dim=768, heads=12, mlp=3072, grid=24):
+            super().__init__()
+            self.patch_embed = _HybridEmbed(_ResNetV2(), 1024, dim)
+            self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+            self.pos_embed = nn.Parameter(torch.zeros(1, grid * grid + 1, dim))
+            self.pos_drop = nn.Dropout(0.0)
+            self.blocks = nn.Sequential(*[
+                _ViTBlock(dim, heads, mlp) for _ in range(depth)])
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+            trunc_normal_(self.pos_embed, std=0.02)
+            trunc_normal_(self.cls_token, std=0.02)
+
+    def create_model(name, pretrained=False, **kw):
+        if name in ("vit_base_resnet50_384", "vit_base_r50_s16_384"):
+            return _HybridViT()
+        raise ValueError(f"timm shim: unknown model {name}")
+
+    timm.create_model = create_model
+
     # ---- fvcore.nn.weight_init
     fv = mod("fvcore")
     fvnn = mod("fvcore.nn")
