@@ -67,3 +67,19 @@ def test_logger_and_timer(tmp_path, monkeypatch):
         pass
     s = t.summary()
     assert "encode" in s and "total" in s
+
+
+def test_count_flops_matmul():
+    """XLA cost analysis replaces the reference's thop FLOP counting
+    (i2vgen test_func/test_models.py): a [64,128]@[128,32] matmul is
+    2*64*128*32 = 524288 FLOPs."""
+    import jax.numpy as jnp
+
+    from vitron_tpu.utils.profiling import count_flops
+
+    a = jnp.ones((64, 128), jnp.float32)
+    b = jnp.ones((128, 32), jnp.float32)
+    costs = count_flops(lambda x, y: x @ y, a, b)
+    assert costs["flops"] == 2 * 64 * 128 * 32
+    assert costs["bytes_accessed"] > 0
+    assert costs["arithmetic_intensity"] > 0

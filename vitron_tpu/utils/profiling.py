@@ -54,3 +54,26 @@ class StageTimer:
         lines = [f"{s['stage']:<24} {s['seconds']*1e3:9.1f} ms" for s in self.stages]
         lines.append(f"{'total':<24} {total*1e3:9.1f} ms")
         return "\n".join(lines)
+
+
+def count_flops(fn, *args, **kwargs) -> Dict[str, float]:
+    """Static cost analysis of a jittable function (the reference counts
+    FLOPs with thop/ptflops in i2vgen's test_func/test_models.py:10-11;
+    here XLA's own compiler estimate replaces instrumentation).
+
+    Returns {'flops', 'bytes_accessed', 'arithmetic_intensity'} for the
+    compiled HLO. Counts are per-invocation; fn is compiled but not run.
+    """
+    import jax
+
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):  # older jax returns one dict per device
+        costs = costs[0]
+    flops = float(costs.get("flops", 0.0))
+    mem = float(costs.get("bytes accessed", 0.0))
+    return {
+        "flops": flops,
+        "bytes_accessed": mem,
+        "arithmetic_intensity": flops / mem if mem else 0.0,
+    }
