@@ -72,8 +72,9 @@ class PagedSequence:
 
 def write_tokens(pool: PagedPool, seq: PagedSequence,
                  k_new: jax.Array, v_new: jax.Array) -> PagedPool:
-    """Append [L, S, KV, D] keys/values to a sequence's blocks (device
-    scatter per touched block)."""
+    """Append [L, S, KV, D] keys/values to a sequence's blocks (general
+    unaligned path: one device scatter per touched block; PagedServer uses
+    the single-scatter fast paths below instead)."""
     s = k_new.shape[1]
     seq.ensure_capacity(pool, s)
     bs = pool.block_size
@@ -181,6 +182,18 @@ class PagedServer:
                 params, cfg, emb, pos,
                 PagedPool(k=k, v=v, block_size=block_size, free=[]),
                 table, lengths))
+        # Single-scatter cache writes (the block-loop in write_tokens costs
+        # one full-pool copy per 16-token block when unjitted). Buffers are
+        # donated so the pool is updated in place on TPU.
+        self._scatter_blocks = jax.jit(
+            lambda kp, vp, kn, vn, blocks: (kp.at[:, blocks].set(kn),
+                                            vp.at[:, blocks].set(vn)),
+            donate_argnums=(0, 1))
+        self._scatter_token = jax.jit(
+            lambda kp, vp, kn, vn, blocks, offs: (
+                kp.at[:, blocks, offs].set(kn),
+                vp.at[:, blocks, offs].set(vn)),
+            donate_argnums=(0, 1))
 
     def add_request(self, prompt_ids: List[int],
                     chunk: Optional[int] = None) -> int:
@@ -200,8 +213,11 @@ class PagedServer:
         self.last_token[sid] = prompt_ids[-1]
         if n == 0:
             return sid
-        bucket = chunk or self.pool.block_size * max(
-            1, math.ceil(n / self.pool.block_size))
+        bucket = chunk or n
+        # round up to a whole number of blocks (>= n) so the dense K/V can be
+        # reshaped straight into block rows
+        bucket = self.pool.block_size * max(
+            1, math.ceil(max(bucket, n) / self.pool.block_size))
         ids = jnp.zeros((1, bucket), jnp.int32).at[0, :n].set(
             jnp.asarray(prompt_ids[:n]))
         mask = jnp.zeros((1, bucket), bool).at[0, :n].set(True)
@@ -210,9 +226,20 @@ class PagedServer:
         _, cache = llama_mod.forward_tokens(
             self.params, self.cfg, ids, positions=pos, attn_mask=mask,
             cache=cache)
-        # scatter the dense K/V into pool blocks
-        self.pool = write_tokens(self.pool, seq,
-                                 cache.k[:, 0, :n], cache.v[:, 0, :n])
+        # scatter the dense K/V into pool blocks: prefill starts block-aligned
+        # at 0, so the whole prompt lands in ONE scatter (padded tail rows in
+        # the final block are dead weight masked out by `lengths` at read)
+        bs = self.pool.block_size
+        seq.ensure_capacity(self.pool, n)
+        nb = len(seq.blocks)
+        l, _, _, kv, d = cache.k.shape
+        k_blk = cache.k[:, 0, :nb * bs].reshape(l, nb, bs, kv, d)
+        v_blk = cache.v[:, 0, :nb * bs].reshape(l, nb, bs, kv, d)
+        k_pool, v_pool = self._scatter_blocks(
+            self.pool.k, self.pool.v, k_blk, v_blk, jnp.asarray(seq.blocks))
+        self.pool = PagedPool(k=k_pool, v=v_pool, block_size=bs,
+                              free=self.pool.free)
+        seq.length = n
         return sid
 
     def step(self, only: Optional[Dict[int, Any]] = None) -> Dict[int, int]:
@@ -222,26 +249,38 @@ class PagedServer:
         if not ids:
             return {}
         b = len(ids)
-        emb = jnp.stack([
-            jnp.take(self.params["embed"], jnp.asarray([self.last_token[i]]), axis=0)
-            for i in ids])
+        bs = self.pool.block_size
+        emb = jnp.take(self.params["embed"],
+                       jnp.asarray([self.last_token[i] for i in ids]),
+                       axis=0)[:, None]
         pos = jnp.asarray([[self.seqs[i].length] for i in ids])
         for i in ids:
             self.seqs[i].ensure_capacity(self.pool, 1)
         table = np.zeros((b, self.max_blocks), np.int32)
+        wr_blocks = np.zeros((b,), np.int32)
+        wr_offs = np.zeros((b,), np.int32)
         for row, i in enumerate(ids):
             blocks = self.seqs[i].blocks[: self.max_blocks]
             table[row, : len(blocks)] = blocks
+            length = self.seqs[i].length
+            wr_blocks[row] = self.seqs[i].blocks[length // bs]
+            wr_offs[row] = length % bs
         lengths = jnp.asarray([self.seqs[i].length + 1 for i in ids])
         logits, k_new, v_new = self._step(
             self.params, emb, pos, self.pool.k, self.pool.v,
             jnp.asarray(table), lengths)
+        # one batched scatter writes every sequence's new token (seqs own
+        # disjoint blocks, so the (block, offset) pairs never collide)
+        k_pool, v_pool = self._scatter_token(
+            self.pool.k, self.pool.v, k_new, v_new,
+            jnp.asarray(wr_blocks), jnp.asarray(wr_offs))
+        self.pool = PagedPool(k=k_pool, v=v_pool, block_size=bs,
+                              free=self.pool.free)
         out = {}
+        next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
         for row, i in enumerate(ids):
-            self.pool = write_tokens(self.pool, self.seqs[i],
-                                     k_new[:, row][:, None],
-                                     v_new[:, row][:, None])
-            out[i] = int(jnp.argmax(logits[row]))
+            self.seqs[i].length += 1
+            out[i] = int(next_tokens[row])
             self.last_token[i] = out[i]
         return out
 
