@@ -82,6 +82,12 @@ def run(preset: str, prefill: int, n_new: int, quant: str = ""):
 
     @jax.jit
     def decode_all(params, token, cache):
+        from vitron_tpu.kernels.quantization import promote_int4
+
+        # int4: one in-program expansion to native s4 (fuses into the dots);
+        # amortized over n_new like a real generation would
+        params = promote_int4(params)
+
         def step(carry, _):
             token, p, cache = carry
             logits, cache = llama.forward_tokens(
@@ -115,7 +121,12 @@ def main():
     preset = os.environ.get("VITRON_BENCH_PRESET", "7b")
     if preset not in PRESETS:
         sys.exit(f"unknown VITRON_BENCH_PRESET {preset!r}; choose from {sorted(PRESETS)}")
-    quant = os.environ.get("VITRON_BENCH_QUANT", "int8")  # int8 | int4 | bf16
+    # int4 is the fastest serving config (s4 dequant fuses into the dots:
+    # 110 vs 92 tok/s int8 on v5e) and mirrors the reference's bitsandbytes
+    # load_4bit option (vitron/model/builder.py:40-45)
+    quant = os.environ.get("VITRON_BENCH_QUANT", "int4")  # int4 | int8 | bf16
+    if quant not in ("int4", "int8", "bf16"):
+        sys.exit(f"unknown VITRON_BENCH_QUANT {quant!r}; choose int4|int8|bf16")
     if quant == "bf16":
         quant = ""
     prefill = int(os.environ.get("VITRON_BENCH_PREFILL", "256"))

@@ -88,3 +88,50 @@ def test_int4_kernel_parity_interpret():
                       block_n=32, block_k2=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_promote_int4_matches_packed_math():
+    """promote_int4 (in-program packed->s4 expansion) must agree with the
+    packed-dict matmul bit-for-bit at the int level."""
+    from vitron_tpu.kernels.quantization import promote_int4, quantize_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+    q4 = quantize_int4(w)
+
+    @jax.jit
+    def via_s4(x, q4):
+        tree = promote_int4({"layers": {"up": q4}})
+        up = tree["layers"]["up"]
+        assert up["q"].dtype == jnp.int4
+        return matmul_maybe_quantized(x, up)
+
+    got = np.asarray(via_s4(x, q4))
+    want = np.asarray(matmul_maybe_quantized(x, q4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # int8 trees pass through with dtype unchanged
+    from vitron_tpu.kernels.quantization import promote_int4 as p
+    t8 = p({"layers": {"up": quantize_int8(w)}})
+    assert t8["layers"]["up"]["q"].dtype == jnp.int8
+
+
+def test_generate_scan_int4_promotes():
+    """generate_scan on an int4-quantized model runs end-to-end (the s4
+    promotion happens inside the jitted program)."""
+    from vitron_tpu.mm.splice import plan_splice
+    from vitron_tpu.models import vitron_model
+    from vitron_tpu.runtime.generation import generate_scan
+
+    cfg = vitron_model.VitronConfig.tiny()
+    params = vitron_model.init_params(jax.random.PRNGKey(0), cfg)
+    params = dict(params)
+    params["llm"] = quantize_llama(params["llm"], bits=4)
+    ids = [[1, 5, 9, 4, 7, 2]]
+    plan = plan_splice(ids, media_kinds=[], pad_len=16)
+    arrays = (jnp.asarray(plan.token_ids), jnp.asarray(plan.media_idx),
+              jnp.asarray(plan.use_media), jnp.asarray(plan.position_ids),
+              jnp.asarray(plan.attention_mask), jnp.asarray(plan.seq_lens))
+    toks = jax.jit(lambda p, a, r: generate_scan(p, cfg, a, 4, r))(
+        params, arrays, jax.random.PRNGKey(0))
+    assert toks.shape == (1, 4)
+    assert bool(jnp.isfinite(toks.astype(jnp.float32)).all())

@@ -30,10 +30,11 @@ def _kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc, *, n_k):
         acc[:] = jnp.zeros_like(acc)
 
     # Mosaic only legalizes shifts on i32: widen, extract nibbles with
-    # sign-extending shift pairs, narrow back for the MXU
+    # sign-extending shifts, narrow back for the MXU (the i8->i32 widen
+    # already sign-extends, so the high nibble is a single arithmetic shift)
     w = q_ref[:].astype(jnp.int32)                 # [bk2, bn]
     lo = jnp.right_shift(jnp.left_shift(w, 28), 28)
-    hi = jnp.right_shift(jnp.left_shift(w, 24), 28)
+    hi = jnp.right_shift(w, 4)
     xe = xe_ref[:]                                 # [M, bk2]
     xo = xo_ref[:]
     acc[:] += jax.lax.dot_general(

@@ -12,11 +12,14 @@ Representation: a quantized matrix is the dict {"q": int8 [..., in, out],
 array — `matmul_maybe_quantized` dispatches on type, so the same model code
 serves both. int4 packs two nibbles per int8 byte ({"q4": ..., "s": ...}).
 
-Measured (v5e tunnel chip, 7B decode): bf16 51.9 -> int8 92.9 tok/s (the
-int8->bf16 convert fuses into the dot's operand read). int4 via plain XLA
-is 9.8 tok/s (unpack doesn't fuse); the fused Pallas kernel
-(kernels/int4_matmul.py, used automatically on TPU) reaches 46.1 tok/s —
-int4 is the capacity play (7B in 3.4 GB), int8 the speed play/default.
+Measured (v5e tunnel chip, 7B decode): bf16 51.9 -> int8 92.4 tok/s (the
+int8->bf16 convert fuses into the dot's operand read) -> int4 110.0 tok/s
+via `promote_int4` (in-program expansion of the packed nibbles to native
+s4, whose dequant rides the dot's memory pipeline at ~470 GB/s packed).
+Fallbacks for paths that cannot promote (s4 cannot cross a jit boundary):
+the fused Pallas kernel (kernels/int4_matmul.py) at ~139 GB/s, and plain
+XLA manual unpack at 9.8 tok/s. int4 is both the capacity play (7B in
+3.4 GB) and the speed play; int8 is the accuracy-conservative option.
 """
 from __future__ import annotations
 
@@ -58,6 +61,26 @@ def _unpack_int4(packed: jax.Array) -> jax.Array:
     stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
     shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
     return stacked.reshape(shape)
+
+
+def promote_int4(tree):
+    """Expand packed int4 leaves {"q4", "s"} to native s4 arrays {"q", "s"}.
+
+    XLA's s4 dequantize fuses into the dot's operand read on TPU (measured
+    v5e: 469 GB/s packed vs 139 GB/s for the fused Pallas unpack kernel —
+    the Mosaic unpack is VPU-bound at ~6 i32 ops/byte, while the native s4
+    convert rides the memory pipeline). s4 buffers cannot cross a jit
+    boundary on current runtimes, so call this INSIDE the jitted decode
+    program (generate_scan does); the one-time expansion (~40 ms for 7B)
+    amortizes over the generated tokens.
+    """
+    def promote(w):
+        if isinstance(w, dict) and "q4" in w:
+            return {"q": _unpack_int4(w["q4"]).astype(jnp.int4), "s": w["s"]}
+        return w
+
+    return jax.tree.map(promote, tree,
+                        is_leaf=lambda x: isinstance(x, dict) and "q4" in x)
 
 
 def dequantize(w: Union[jax.Array, Dict[str, jax.Array]]) -> jax.Array:

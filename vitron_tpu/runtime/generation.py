@@ -166,6 +166,12 @@ def generate_scan(params, cfg: vitron_model.VitronConfig, plan_arrays,
     seq_lens) device arrays. Returns [B, n_new] token ids.
     """
     token_ids, media_idx, use_media, positions, attn_mask, seq_lens = plan_arrays
+    # int4 weights: expand packed nibbles to native s4 once for the whole
+    # generation (XLA's s4 dequant rides the dot's memory pipeline; the
+    # Pallas unpack kernel used by the step-wise path is VPU-bound)
+    from vitron_tpu.kernels.quantization import promote_int4
+
+    params = promote_int4(params)
     b, pad_len = token_ids.shape
     max_len = max_cache_len or (pad_len + n_new)
     cache = llama.KVCache.create(cfg.llm, b, max_len=max_len)
