@@ -84,6 +84,32 @@ def test_generate_host_vs_scan_greedy(tiny_setup):
         images=jnp.asarray(images), temperature=0.0)
     assert out_host == np.asarray(out_scan)[0].tolist()
 
+    # the chunked (while_loop) decode path must match too, for chunk sizes
+    # that divide, exceed, and straddle max_new_tokens
+    for chunk in (3, 8, 16):
+        out_chunked = gen.generate(
+            plan, images=jnp.asarray(images),
+            sampling=SamplingConfig(greedy=True, max_new_tokens=8, eos_ids=()),
+            decode_chunk=chunk,
+        )[0]
+        assert out_chunked == out_host, (chunk, out_chunked, out_host)
+    # EOS early exit: force the first generated token to be "EOS"
+    eos_first = gen.generate(
+        plan, images=jnp.asarray(images),
+        sampling=SamplingConfig(greedy=True, max_new_tokens=8,
+                                eos_ids=(out_host[0],)),
+        decode_chunk=4,
+    )[0]
+    assert eos_first == [out_host[0]]
+    # EOS mid-chunk
+    eos_mid = gen.generate(
+        plan, images=jnp.asarray(images),
+        sampling=SamplingConfig(greedy=True, max_new_tokens=8,
+                                eos_ids=(out_host[2],)),
+        decode_chunk=8,
+    )[0]
+    assert eos_mid == out_host[:3]
+
 
 def test_generate_batch_padding_isolation(tiny_setup):
     """A short row padded next to a long row must generate the same greedy

@@ -122,6 +122,7 @@ class VitronEngine:
         history: Optional[List[Tuple[str, str]]] = None,
         sampling: SamplingConfig = SamplingConfig(),
         rng=None,
+        decode_chunk: Optional[int] = 32,
     ) -> Dict[str, Any]:
         conv = conv_templates[self.conv_template].copy()
         for u, a in history or []:
@@ -148,6 +149,11 @@ class VitronEngine:
             sampling=sampling,
             rng=rng,
             stopper=stopper,
+            # 32-token device chunks with EOS early exit: ~3-5x interactive
+            # decode vs per-token stepping (each tunnel dispatch + per-token
+            # host sync costs ~1 ms + a round-trip); the keyword stopper is
+            # checked at chunk boundaries instead of every 8 tokens
+            decode_chunk=decode_chunk,
         )[0]
         text = self.tokenizer.decode(out, skip_special_tokens=True)
         if stop_str and text.endswith(stop_str):
