@@ -133,3 +133,71 @@ def test_trainer_end_to_end(tmp_path):
     assert (tmp_path / "out" / "non_lora_trainables.npz").exists()
     cfg_json = json.loads((tmp_path / "out" / "adapter_config.json").read_text())
     assert cfg_json["r"] == 2
+
+
+def test_qlora_train_quantized_base(tmp_path):
+    """LoRA fine-tuning over a FROZEN QUANTIZED base (int8 and int4): the
+    adapters ride as a low-rank bypass at matmul time (lora.merge keeps the
+    base packed). Loss finite; LoRA factors actually receive gradients."""
+    from vitron_tpu.kernels.quantization import quantize_llama
+
+    items = [{
+        "conversations": [
+            {"from": "human", "value": "<image>\nwhat color is this?"},
+            {"from": "gpt", "value": f"it is color number {i}"},
+        ],
+        "image": f"img_{i}.png",
+    } for i in range(4)]
+    data_path = tmp_path / "data.json"
+    data_path.write_text(json.dumps(items))
+
+    cfg = vitron_model.VitronConfig.tiny()
+
+    def media_loader(kind, path):
+        return np.random.RandomState(abs(hash(path)) % 1000).rand(28, 28, 3).astype(np.float32)
+
+    for bits in (8, 4):
+        base = vitron_model.init_params(jax.random.PRNGKey(0), cfg)
+        base = dict(base)
+        base["llm"] = quantize_llama(base["llm"], bits=bits)
+        ds = data_mod.SupervisedDataset(str(data_path), WordTok(),
+                                        model_max_length=128)
+        tc = TrainConfig(batch_size=2, num_epochs=1, pad_len=128,
+                         save_steps=100, learning_rate=1e-2,
+                         lora=lora_mod.LoraConfig(r=2, alpha=4))
+        tr = Trainer(cfg, tc, base, str(tmp_path / f"out{bits}"))
+        losses = tr.fit(ds, media_loader=media_loader, total_steps=2,
+                        image_len=16)
+        assert all(np.isfinite(losses)), (bits, losses)
+        assert losses[0] > 0.5, (bits, losses)
+        a = np.asarray(tr.trainable["lora"]["wq"]["a"])
+        assert np.abs(a).max() > 0, f"int{bits}: LoRA A never updated"
+
+
+def test_qlora_merge_matches_dense_merge():
+    """Quantized-base bypass merge == dense merge on the dequantized base
+    (up to quantization error of the base itself)."""
+    import jax.numpy as jnp
+
+    from vitron_tpu.kernels.quantization import (
+        dequantize, matmul_maybe_quantized, quantize_llama)
+    from vitron_tpu.models.llm import llama
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    lcfg = lora_mod.LoraConfig(r=2, alpha=4)
+    lora = lora_mod.init_lora_params(jax.random.PRNGKey(1), params, lcfg)
+    # randomize B so the bypass is nonzero
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+
+    dense = lora_mod.merge(params, lora, lcfg)
+    qbase = quantize_llama(params, bits=8)
+    qmerged = lora_mod.merge(qbase, lora, lcfg)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, cfg.hidden_size))
+    wd = dense["layers"]["wq"][0]
+    wq = jax.tree.map(lambda v: v[0], qmerged["layers"]["wq"])
+    got = matmul_maybe_quantized(x, wq)
+    want = x @ wd
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.05, rel

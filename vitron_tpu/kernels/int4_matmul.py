@@ -49,11 +49,35 @@ def _kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc, *, n_k):
         o_ref[:] = (acc[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def int4_matmul(x: jax.Array, q4: jax.Array, scale: jax.Array,
                 block_n: int = 512, block_k2: int = 512,
                 interpret: bool = False) -> jax.Array:
     """x: [M, K] (bf16/f32); q4: [K//2, N] packed int8; scale: [1, N] f32.
-    Returns [M, N] in x.dtype."""
+    Returns [M, N] in x.dtype. Differentiable w.r.t. x (QLoRA-style training
+    over a frozen int4 base): the backward pass dequantizes once in XLA —
+    training is MXU-bound at prefill shapes, so the unfused unpack is noise."""
+    return _int4_matmul_impl(x, q4, scale, block_n, block_k2, interpret)
+
+
+def _int4_fwd(x, q4, scale, block_n, block_k2, interpret):
+    return _int4_matmul_impl(x, q4, scale, block_n, block_k2, interpret), (q4, scale)
+
+
+def _int4_bwd(block_n, block_k2, interpret, res, g):
+    from vitron_tpu.kernels.quantization import dequantize
+
+    q4, scale = res
+    w = dequantize({"q4": q4, "s": scale}).astype(g.dtype)   # [K, N]
+    return (g @ w.T, None, None)
+
+
+int4_matmul.defvjp(_int4_fwd, _int4_bwd)
+
+
+def _int4_matmul_impl(x: jax.Array, q4: jax.Array, scale: jax.Array,
+                      block_n: int = 512, block_k2: int = 512,
+                      interpret: bool = False) -> jax.Array:
     m, k = x.shape
     k2, n = q4.shape
     assert k == 2 * k2, (k, k2)

@@ -76,7 +76,8 @@ def promote_int4(tree):
     """
     def promote(w):
         if isinstance(w, dict) and "q4" in w:
-            return {"q": _unpack_int4(w["q4"]).astype(jnp.int4), "s": w["s"]}
+            extra = {k: v for k, v in w.items() if k not in ("q4",)}
+            return {**extra, "q": _unpack_int4(w["q4"]).astype(jnp.int4)}
         return w
 
     return jax.tree.map(promote, tree,
@@ -95,7 +96,18 @@ def matmul_maybe_quantized(x: jax.Array, w) -> jax.Array:
     """x @ w for plain arrays or quantized dicts. The scale applies AFTER the
     matmul (per output channel) so the dot reads int8 straight from HBM.
     int4 routes through the fused Pallas dequantize-matmul on TPU (the
-    plain-XLA unpack doesn't fuse; see module docstring)."""
+    plain-XLA unpack doesn't fuse; see module docstring).
+
+    A quantized dict may carry LoRA bypass factors ("lora_a" [in, r],
+    "lora_b" [r, out], "lora_scale"): y = x@W_q + (x@A)@B * scale — the
+    frozen base stays quantized while the adapters train in bf16/f32
+    (train/lora.py merge)."""
+    if isinstance(w, dict) and "lora_a" in w:
+        base = {k: v for k, v in w.items() if not k.startswith("lora_")}
+        bypass = ((x.astype(jnp.float32) @ w["lora_a"].astype(jnp.float32))
+                  @ w["lora_b"].astype(jnp.float32)) * w["lora_scale"]
+        y = matmul_maybe_quantized(x, base)
+        return y + bypass.astype(y.dtype)
     if isinstance(w, dict):
         if "q4" in w:
             if w["q4"].ndim == 2 and jax.default_backend() == "tpu":

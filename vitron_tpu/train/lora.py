@@ -44,13 +44,21 @@ def init_lora_params(rng: jax.Array, llm_params: Dict[str, Any],
     for i, name in enumerate(cfg.targets):
         if name not in layers:
             continue
-        w = layers[name]  # [L, in, out]
-        l, din, dout = w.shape
+        w = layers[name]  # [L, in, out] array, or a quantized dict
+        if isinstance(w, dict):
+            q = w["q4"] if "q4" in w else w["q"]
+            l, din, dout = q.shape
+            if "q4" in w:
+                din *= 2  # two nibbles packed per byte along the input dim
+            dtype = jnp.bfloat16
+        else:
+            l, din, dout = w.shape
+            dtype = w.dtype
         ka = jax.random.fold_in(rng, i)
         out[name] = {
             "a": (jax.random.normal(ka, (l, din, cfg.r), jnp.float32)
-                  / jnp.sqrt(din)).astype(w.dtype),
-            "b": jnp.zeros((l, cfg.r, dout), w.dtype),
+                  / jnp.sqrt(din)).astype(dtype),
+            "b": jnp.zeros((l, cfg.r, dout), dtype),
         }
     return out
 
@@ -58,13 +66,26 @@ def init_lora_params(rng: jax.Array, llm_params: Dict[str, Any],
 def merge(llm_params: Dict[str, Any], lora_params: Dict[str, Any],
           cfg: LoraConfig) -> Dict[str, Any]:
     """Functional merge: returns a params tree with W + (A@B)*scale.
-    Differentiable w.r.t. the LoRA factors."""
+    Differentiable w.r.t. the LoRA factors.
+
+    Quantized base weights (int8/int4 dicts) are NOT densified — the LoRA
+    factors ride along as a low-rank bypass evaluated at matmul time
+    (y = x@W_q + (x@A)@B * scale, see matmul_maybe_quantized), so a frozen
+    int4 7B base + bf16 adapters trains in ~4.5 GB: the TPU equivalent of
+    the reference's QLoRA-ish bitsandbytes + ZeRO-2-offload recipe
+    (train.py:1040-1056, scripts/zero2_offload.json)."""
     layers = dict(llm_params["layers"])
     for name, ab in lora_params.items():
+        w = layers[name]
+        if isinstance(w, dict):
+            # scale shaped [L, 1, 1] so the per-layer lax.scan can slice it
+            scale = jnp.full((ab["a"].shape[0], 1, 1), cfg.scaling, jnp.float32)
+            layers[name] = {**w, "lora_a": ab["a"], "lora_b": ab["b"],
+                            "lora_scale": scale}
+            continue
         delta = jnp.einsum("lir,lro->lio", ab["a"].astype(jnp.float32),
                            ab["b"].astype(jnp.float32)) * cfg.scaling
-        layers[name] = (layers[name].astype(jnp.float32) + delta).astype(
-            llm_params["layers"][name].dtype)
+        layers[name] = (w.astype(jnp.float32) + delta).astype(w.dtype)
     return {**llm_params, "layers": layers}
 
 

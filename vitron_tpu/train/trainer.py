@@ -79,6 +79,12 @@ def make_lora_train_step(cfg: vitron_model.VitronConfig, train_cfg: TrainConfig,
         return causal_lm_loss(logits, batch["labels"])
 
     def step(trainable, base, opt_state, batch):
+        from vitron_tpu.kernels.quantization import promote_int4
+
+        # frozen int4 base: expand packed nibbles to native s4 once per step
+        # inside the jitted program (fuses into the dots; ~40 ms at 7B,
+        # small next to a full fwd+bwd)
+        base = promote_int4(base)
         loss, grads = jax.value_and_grad(loss_fn)(trainable, base, batch)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
