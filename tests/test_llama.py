@@ -183,3 +183,29 @@ def test_remat_forward_and_grad():
 
     g = jax.grad(loss)(params)
     assert bool(jnp.isfinite(g["layers"]["wq"]).all())
+
+
+def test_sharded_quantized_forward_8dev():
+    """Quantized trees (int8/int4 dicts) shard under the same substring
+    rules: fit_spec replicates the non-dividable dims (the [L, 1, out]
+    scales keep only the output-channel axis) and the sharded forward runs
+    on an fsdp x tensor mesh."""
+    from vitron_tpu.core import mesh as mesh_mod
+    from vitron_tpu.kernels.quantization import quantize_llama
+
+    cfg = LlamaConfig.tiny(hidden_size=128, intermediate_size=256,
+                           num_heads=8, num_kv_heads=8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    m = mesh_mod.create_mesh({"fsdp": 2, "tensor": 4})
+    ids = jnp.ones((1, 8), jnp.int32)
+    pos = jnp.arange(8)[None]
+    for bits in (8, 4):
+        q = quantize_llama(params, bits=bits)
+        sharded = mesh_mod.shard_params(q, m, LLAMA_SHARDING_RULES)
+        s_spec = sharded["layers"]["wq"]["s"].sharding.spec
+        assert s_spec == jax.sharding.PartitionSpec(None, None, "tensor"), s_spec
+        with m:
+            logits, _ = jax.jit(
+                lambda p, i: forward_tokens(p, cfg, i, positions=pos)
+            )(sharded, ids)
+        assert bool(jnp.isfinite(logits).all())

@@ -80,11 +80,29 @@ def spec_for(path: Tuple[str, ...], rules: Sequence[Tuple[str, P]]) -> P:
     return P()
 
 
+def fit_spec(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
+    """Drop spec entries that cannot apply to `shape`: axes whose mesh size
+    does not divide the dim, and entries beyond the array's rank. Lets one
+    substring rule cover a weight AND its satellites (quantization scales
+    [L, 1, out], LoRA factors) — the undividable dims just replicate."""
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    out = []
+    for dim, names in zip(shape, parts[: len(shape)]):
+        if names is None:
+            out.append(None)
+            continue
+        group = names if isinstance(names, tuple) else (names,)
+        k = int(np.prod([mesh.shape[a] for a in group]))
+        out.append(names if k and dim % k == 0 else None)
+    return P(*out)
+
+
 def make_param_shardings(params, mesh: Mesh, rules: Sequence[Tuple[str, P]]):
     """PartitionSpec tree -> NamedSharding tree matching a param pytree."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     paths = [tuple(_key_str(k) for k in kp) for kp, _ in flat]
-    specs = [spec_for(p, rules) for p in paths]
+    specs = [fit_spec(spec_for(p, rules), np.shape(leaf), mesh)
+             for p, (_, leaf) in zip(paths, flat)]
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(
         treedef, [NamedSharding(mesh, s) for s in specs]
