@@ -83,3 +83,29 @@ def test_count_flops_matmul():
     assert costs["flops"] == 2 * 64 * 128 * 32
     assert costs["bytes_accessed"] > 0
     assert costs["arithmetic_intensity"] > 0
+
+
+def test_memory_plan_tracks_and_reports():
+    import jax.numpy as jnp
+
+    from vitron_tpu.runtime.memory_plan import MemoryPlan, kv_cache_bytes, tree_bytes
+
+    tree = {"w": jnp.zeros((1024, 1024), jnp.bfloat16),
+            "q": {"q4": jnp.zeros((512, 1024), jnp.int8),
+                  "s": jnp.zeros((1, 1024), jnp.float32)},
+            "cfg": "not-an-array"}
+    n = tree_bytes(tree)
+    assert n == 1024 * 1024 * 2 + 512 * 1024 + 1024 * 4
+
+    plan = MemoryPlan(budget_bytes=10 * 1024 ** 2, reserve_bytes=1024 ** 2)
+    plan.add("model", tree)
+    assert plan.fits
+    rep = plan.report()
+    assert "model" in rep and "OK" in rep
+    plan.add("big", 20 * 1024 ** 2)
+    assert not plan.fits and "OVER" in plan.report()
+    import pytest
+
+    with pytest.raises(MemoryError):
+        plan.add("more", 1, strict=True)
+    assert kv_cache_bytes(32, 1, 1024, 32, 128) == 2 * 32 * 1024 * 32 * 128 * 2

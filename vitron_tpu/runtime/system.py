@@ -29,9 +29,22 @@ from vitron_tpu.runtime.router import (
 
 
 class VitronSystem:
-    def __init__(self, engine: VitronEngine):
+    def __init__(self, engine: VitronEngine, memory_plan=None):
+        from vitron_tpu.runtime.memory_plan import MemoryPlan, tree_bytes
+
         self.engine = engine
         self.registry = BackendRegistry()
+        # resident-weights placement ledger (the reference reloads backends
+        # from disk per request instead, app.py:94-103)
+        self.memory_plan = memory_plan or MemoryPlan()
+        llm_params = getattr(getattr(engine, "generator", None), "params", None)
+        self.memory_plan.add("llm+towers",
+                             tree_bytes(llm_params) if llm_params is not None else 0)
+
+    def _track(self, name: str, params) -> None:
+        from vitron_tpu.runtime.memory_plan import tree_bytes
+
+        self.memory_plan.add(name, tree_bytes(params))
 
     # ------------------------------------------------------- registration
 
@@ -59,6 +72,7 @@ class VitronSystem:
             return np.asarray(up)
 
         self._seem_text_mask = _text_mask
+        self._track("seem", seem_params)
 
         def handle_b(req: TaskRequest) -> Dict[str, Any]:
             if req.image is None:
@@ -111,6 +125,8 @@ class VitronSystem:
         C chains SEEM text segmentation into a GLIGEN inpaint keep-mask."""
         import jax.numpy as jnp
 
+        self._track("gligen", pipeline.__dict__)
+
         def handle_a(req: TaskRequest) -> Dict[str, Any]:
             prompt = (req.instructions or [req.text])[0]
             boxes = parse_region_boxes(req.region)
@@ -148,6 +164,8 @@ class VitronSystem:
         self.registry.register("C", handle_c)
 
     def register_text2video(self, pipeline):
+        self._track("text2video", pipeline.__dict__)
+
         def handle_d(req: TaskRequest) -> Dict[str, Any]:
             prompt = (req.instructions or [req.text])[0]
             frames = pipeline.generate(prompt)
@@ -156,6 +174,8 @@ class VitronSystem:
         self.registry.register("D", handle_d)
 
     def register_image2video(self, pipeline):
+        self._track("image2video", pipeline.__dict__)
+
         def handle_g(req: TaskRequest) -> Dict[str, Any]:
             if req.image is None:
                 return {"status": "error", "error": "image_to_video needs an image"}
@@ -168,6 +188,7 @@ class VitronSystem:
         self.registry.register("G", handle_g)
 
     def register_video_editor(self, editor, atlas_provider=None):
+        self._track("video_editor", editor.__dict__)
         """F video_editing (app.py:276-313): edit the background atlas with
         ControlNet and re-render; `atlas_provider(video)` must return the
         precomputed atlas bundle (the reference expects per-video NLA
