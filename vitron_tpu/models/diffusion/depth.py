@@ -79,6 +79,10 @@ class DPTConfig:
 # primitives
 
 def _conv(x, w, b=None, stride=1, padding="SAME"):
+    # 1x1 convs as matmuls (see kernels/conv2d.py)
+    if w.shape[0] == w.shape[1] == 1 and stride == 1:
+        y = x @ w[0, 0].astype(x.dtype)
+        return y if b is None else y + b
     y = jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

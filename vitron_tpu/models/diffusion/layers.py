@@ -47,7 +47,14 @@ def layer_norm(x, p, eps: float = 1e-5):
 
 def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
            stride: int = 1, padding: int = 0) -> jax.Array:
-    """x: [B, H, W, C_in]; w: [kh, kw, C_in, C_out] (HWIO)."""
+    """x: [B, H, W, C_in]; w: [kh, kw, C_in, C_out] (HWIO).
+
+    1x1 convs run as plain matmuls (XLA's conv lowering runs ~8 TF/s on
+    current TPU runtimes vs 110 TF/s for dots; see kernels/conv2d.py for
+    the 3x3 experiments)."""
+    if w.shape[0] == w.shape[1] == 1 and stride == 1 and padding == 0:
+        out = x @ w[0, 0].astype(x.dtype)
+        return out if b is None else out + b.astype(out.dtype)
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride),
         [(padding, padding), (padding, padding)],

@@ -47,6 +47,10 @@ class DaViTConfig:
 
 
 def _conv(x, w, b=None, stride=1, padding=0, groups=1):
+    # 1x1 convs as matmuls (see kernels/conv2d.py)
+    if w.shape[0] == w.shape[1] == 1 and stride == 1 and padding == 0 and groups == 1:
+        out = x @ w[0, 0].astype(x.dtype)
+        return out if b is None else out + b.astype(out.dtype)
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride),
         [(padding, padding), (padding, padding)],

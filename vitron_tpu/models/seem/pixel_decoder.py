@@ -58,6 +58,11 @@ def position_embedding_sine(h: int, w: int, dim: int, temperature: float = 10000
 
 
 def _conv(x, w, b=None, stride=1, padding=0):
+    # 1x1 convs as matmuls: XLA's conv lowering runs far below the MXU on
+    # current TPU runtimes (see kernels/conv2d.py for the 3x3 experiments)
+    if w.shape[0] == w.shape[1] == 1 and stride == 1 and padding == 0:
+        out = x @ w[0, 0].astype(x.dtype)
+        return out if b is None else out + b.astype(out.dtype)
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride),
         [(padding, padding), (padding, padding)],

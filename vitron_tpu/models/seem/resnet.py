@@ -42,6 +42,9 @@ class ResNetConfig:
 
 
 def _conv(x, w, stride=1, padding=0):
+    # 1x1 convs as matmuls (see kernels/conv2d.py)
+    if w.shape[0] == w.shape[1] == 1 and stride == 1 and padding == 0:
+        return x @ w[0, 0].astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride),
         [(padding, padding), (padding, padding)],
