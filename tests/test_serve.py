@@ -89,3 +89,11 @@ def test_malformed_body_returns_500(server):
     except urllib.error.HTTPError as e:
         assert e.code == 500
         assert "error" in json.loads(e.read())
+
+
+def test_stats_reports_memory_plan(server):
+    with urllib.request.urlopen(_url(server, "/stats")) as r:
+        data = json.loads(r.read())
+    assert data["fits"] is True
+    assert "llm+towers" in data["entries"]
+    assert "budget" in data["report"]

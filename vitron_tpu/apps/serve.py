@@ -111,6 +111,16 @@ def make_handler(system):
             if self.path == "/health":
                 self._send(200, {"status": "ok",
                                  "backends": system.registry.available()})
+            elif self.path == "/stats":
+                plan = system.memory_plan
+                self._send(200, {
+                    "backends": system.registry.available(),
+                    "resident_bytes": plan.resident_bytes,
+                    "budget_bytes": plan.budget_bytes,
+                    "fits": plan.fits,
+                    "entries": plan.entries,
+                    "report": plan.report(),
+                })
             elif self.path in ("/", "/index.html"):
                 body = _INDEX_HTML.encode()
                 self.send_response(200)
