@@ -78,6 +78,34 @@ def test_blocks_recycled(tiny):
     assert len(srv.pool.free) == free0
 
 
+def test_table_grows_past_max_blocks(tiny):
+    """Sequences longer than max_blocks_per_seq*block_size must keep full
+    attention (regression: the block table used to silently truncate)."""
+    cfg, params = tiny
+    prompt = [5, 17, 3, 99, 42, 8, 11, 2]
+    n_steps = 12  # 8 prompt + 12 decode = 20 tokens > 2 blocks * 4
+
+    cache = llama.KVCache.create(cfg, 1, max_len=64)
+    logits, cache = llama.forward_tokens(
+        params, cfg, jnp.asarray([prompt]),
+        positions=jnp.arange(len(prompt))[None], cache=cache)
+    tok = int(jnp.argmax(logits[0, -1]))
+    dense = [tok]
+    for i in range(n_steps - 1):
+        l, cache = llama.forward_tokens(
+            params, cfg, jnp.asarray([[tok]]),
+            positions=jnp.asarray([[len(prompt) + i]]), cache=cache)
+        tok = int(jnp.argmax(l[0, -1]))
+        dense.append(tok)
+
+    srv = PagedServer(params, cfg, num_blocks=32, block_size=4,
+                      max_blocks_per_seq=2)
+    sid = srv.add_request(prompt)
+    paged = [srv.step()[sid] for _ in range(n_steps)]
+    assert srv.max_blocks >= 5  # grew past the initial bucket
+    assert paged == dense
+
+
 def test_pool_exhaustion_raises(tiny):
     cfg, params = tiny
     srv = PagedServer(params, cfg, num_blocks=2, block_size=4)

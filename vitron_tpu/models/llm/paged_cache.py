@@ -256,11 +256,17 @@ class PagedServer:
         pos = jnp.asarray([[self.seqs[i].length] for i in ids])
         for i in ids:
             self.seqs[i].ensure_capacity(self.pool, 1)
+        # Table width is a doubling bucket sized to the longest active
+        # sequence (never truncate: a dropped block would silently corrupt
+        # attention while new tokens keep scattering into it).
+        need = max(len(self.seqs[i].blocks) for i in ids)
+        while self.max_blocks < need:
+            self.max_blocks *= 2
         table = np.zeros((b, self.max_blocks), np.int32)
         wr_blocks = np.zeros((b,), np.int32)
         wr_offs = np.zeros((b,), np.int32)
         for row, i in enumerate(ids):
-            blocks = self.seqs[i].blocks[: self.max_blocks]
+            blocks = self.seqs[i].blocks
             table[row, : len(blocks)] = blocks
             length = self.seqs[i].length
             wr_blocks[row] = self.seqs[i].blocks[length // bs]
