@@ -111,13 +111,13 @@ def test_video_unet_forward_shapes():
 
 
 def test_text2video_tiny():
+    from vitron_tpu.models.diffusion import clip_text, unet_sd_video, vae
+
     cfg = video_pipelines.Text2VideoConfig.tiny()
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    from vitron_tpu.models.diffusion import clip_text, vae
-
     pipe = video_pipelines.Text2VideoPipeline(
         cfg,
-        video_unet.init_params(ks[0], cfg.unet),
+        unet_sd_video.init_params(ks[0], cfg.unet),
         vae.init_params(ks[1], cfg.vae),
         clip_text.init_params(ks[2], cfg.text),
         tokenizer=_StubTokenizer())
@@ -127,17 +127,59 @@ def test_text2video_tiny():
 
 
 def test_image2video_tiny():
+    from vitron_tpu.models.diffusion import clip_text, unet_sd_video, vae
+
     cfg = video_pipelines.Image2VideoConfig.tiny()
     ks = jax.random.split(jax.random.PRNGKey(3), 3)
-    from vitron_tpu.models.diffusion import clip_text, vae
-
     pipe = video_pipelines.Image2VideoPipeline(
         cfg,
-        video_unet.init_params(ks[0], cfg.unet),
+        unet_sd_video.init_params(ks[0], cfg.unet),
         vae.init_params(ks[1], cfg.vae),
         clip_text.init_params(ks[2], cfg.text),
-        tokenizer=_StubTokenizer())
+        tokenizer=_StubTokenizer(),
+        image_embedder=lambda img: np.ones((1, cfg.unet.y_dim), np.float32))
     img = np.random.RandomState(0).randint(0, 255, (16, 16, 3), np.uint8)
     frames = pipe.generate(jnp.asarray(img), "make it move",
                            rng=jax.random.PRNGKey(1), steps=5)
     assert frames.shape == (4, 16, 16, 3)
+
+
+def test_ddim_v_loop_matches_reference():
+    """ddim_sample_v (cosine + zero-terminal-SNR) vs the vendored
+    DiffusionDDIM.ddim_sample_loop with mean_type='v' on a closed-form
+    denoiser (diffusion_ddim.py:206-253)."""
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    from tests import torch_shims
+    from tests.conftest import load_reference_package_module
+    from vitron_tpu.models.diffusion import samplers
+
+    torch_shims.install()
+    torch_shims.install_i2vgen()
+    ref = load_reference_package_module(
+        "modules.i2vgen-xl.tools.modules.diffusions.diffusion_ddim")
+
+    diff = ref.DiffusionDDIM(
+        schedule="cosine",
+        schedule_param={"num_timesteps": 1000, "cosine_s": 0.008,
+                        "zero_terminal_snr": True},
+        mean_type="v", var_type="fixed_small", loss_type="mse",
+        rescale_timesteps=False)
+
+    class Toy(torch.nn.Module):
+        def forward(self, x, t, **kw):
+            return 0.3 * x + 0.05 * torch.sin(0.01 * t.float()).view(-1, 1, 1, 1)
+
+    x0 = torch.tensor(np.random.RandomState(0).randn(1, 2, 8, 8).astype(np.float32))
+    with torch.no_grad():
+        want = diff.ddim_sample_loop(x0.clone(), Toy(), ddim_timesteps=10).numpy()
+
+    sched = samplers.DiffusionSchedule.create("cosine", 1000,
+                                              zero_terminal_snr=True)
+
+    def v_fn(x, t):
+        return 0.3 * x + 0.05 * jnp.sin(0.01 * jnp.asarray(t, jnp.float32))
+
+    got = samplers.ddim_sample_v(v_fn, jnp.asarray(x0.numpy()), sched, 10)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

@@ -377,3 +377,76 @@ def install():
     d2.modeling = d2_modeling
     d2.layers = d2_layers
     d2.structures = d2_structures
+
+
+def install_i2vgen():
+    """Stubs for the i2vgen-xl UNet imports (xformers, rotary embeddings,
+    fairscale checkpointing, open_clip, the repo's Registry). The xformers
+    stub computes real attention so parity tests exercise identical math."""
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    import importlib.machinery
+
+    def mod(name):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = m
+        return m
+
+    xf = mod("xformers")
+    xf_ops = mod("xformers.ops")
+
+    def memory_efficient_attention(q, k, v, attn_bias=None, op=None):
+        # q/k/v: [B*, N, D] (or [B, N, H, D]); default scale 1/sqrt(D)
+        scale = q.shape[-1] ** -0.5
+        sim = torch.einsum("...nd,...md->...nm", q * scale, k)
+        if attn_bias is not None:  # callers pass None or LowerTriangularMask()
+            n = sim.shape[-1]
+            tri = torch.full((n, n), float("-inf")).triu(1)
+            sim = sim + tri
+        return torch.einsum("...nm,...md->...nd", sim.softmax(dim=-1), v)
+
+    xf_ops.memory_efficient_attention = memory_efficient_attention
+    xf_ops.LowerTriangularMask = lambda: 1
+    xf.ops = xf_ops
+
+    rot = mod("rotary_embedding_torch")
+
+    class RotaryEmbedding:
+        def __init__(self, dim):
+            self.dim = dim
+
+        def rotate_queries_or_keys(self, x):
+            return x
+
+    rot.RotaryEmbedding = RotaryEmbedding
+
+    fs = mod("fairscale")
+    fs_nn = mod("fairscale.nn")
+    fs_ckpt = mod("fairscale.nn.checkpoint")
+    fs_ckpt.checkpoint_wrapper = lambda m: m
+    fs_nn.checkpoint = fs_ckpt
+    fs.nn = fs_nn
+
+    mod("open_clip")
+
+    # `from utils.registry_class import MODEL` inside the vendored tree
+    utils_pkg = mod("utils")
+    reg = mod("utils.registry_class")
+
+    class _Registry:
+        def register_class(self):
+            def deco(cls):
+                return cls
+            return deco
+
+    for name in ("MODEL", "EMBEDDER", "AUTO_ENCODER", "DIFFUSION", "DATASETS",
+                 "PRETRAIN", "VISUAL", "EMBEDMANAGER", "DISTRIBUTION",
+                 "ENGINE", "INFER_ENGINE"):
+        setattr(reg, name, _Registry())
+    utils_pkg.registry_class = reg

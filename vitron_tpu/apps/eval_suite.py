@@ -121,13 +121,13 @@ def run_demo_suite(seed: int = 0) -> Dict[str, Any]:
 
     # ---- (5) video generation + atlas editing ---------------------------
     from vitron_tpu.models.diffusion import stablevideo as sv
+    from vitron_tpu.models.diffusion import unet_sd_video
     from vitron_tpu.models.diffusion import video_pipelines as vp
-    from vitron_tpu.models.diffusion import video_unet
 
     tcfg = vp.Text2VideoConfig.tiny()
     ks = jax.random.split(jax.random.PRNGKey(seed + 3), 3)
     t2v = vp.Text2VideoPipeline(
-        tcfg, video_unet.init_params(ks[0], tcfg.unet),
+        tcfg, unet_sd_video.init_params(ks[0], tcfg.unet),
         vae.init_params(ks[1], tcfg.vae),
         clip_text.init_params(ks[2], tcfg.text), tokenizer=TTok())
     vidgen, dt = _timed(lambda: np.asarray(t2v.generate(

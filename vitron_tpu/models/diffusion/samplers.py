@@ -41,6 +41,18 @@ def make_beta_schedule(schedule: str, n_timestep: int, linear_start=1e-4,
     raise ValueError(schedule)
 
 
+def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """Rescale so the final alphas_cumprod is exactly 0 (Lin et al.), as the
+    i2vgen/t2v configs request (schedules.py:121-143, i2vgen_xl_train.yaml:
+    zero_terminal_snr). Requires a v-prediction model."""
+    alphas_bar_sqrt = np.sqrt(np.cumprod(1.0 - betas))
+    a0, aT = alphas_bar_sqrt[0], alphas_bar_sqrt[-1]
+    alphas_bar_sqrt = (alphas_bar_sqrt - aT) * (a0 / (a0 - aT))
+    alphas_bar = alphas_bar_sqrt ** 2
+    alphas = np.concatenate([alphas_bar[:1], alphas_bar[1:] / alphas_bar[:-1]])
+    return 1.0 - alphas
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionSchedule:
     betas: np.ndarray
@@ -48,8 +60,11 @@ class DiffusionSchedule:
 
     @staticmethod
     def create(schedule: str = "linear", timesteps: int = 1000,
-               linear_start: float = 0.00085, linear_end: float = 0.012) -> "DiffusionSchedule":
+               linear_start: float = 0.00085, linear_end: float = 0.012,
+               zero_terminal_snr: bool = False) -> "DiffusionSchedule":
         betas = make_beta_schedule(schedule, timesteps, linear_start, linear_end)
+        if zero_terminal_snr and betas.max() != 1.0:
+            betas = rescale_zero_terminal_snr(betas)
         return DiffusionSchedule(betas, np.cumprod(1.0 - betas))
 
     @property
@@ -139,6 +154,61 @@ def ddim_sample(
         return x, None
 
     x, _ = jax.lax.scan(step, x, (steps, a_t, a_prev, sig, gates, keys))
+    return x
+
+
+def ddim_sample_v(
+    v_fn: Callable,
+    x: jax.Array,
+    sched: DiffusionSchedule,
+    num_steps: int,
+    rng: Optional[jax.Array] = None,
+    eta: float = 0.0,
+    percentile: Optional[float] = None,
+) -> jax.Array:
+    """DDIM loop for a v-prediction model — the i2vgen/t2v inference path
+    (reference diffusion_ddim.py:206-253, mean_type='v'):
+
+      steps = (1 + arange(0, T, T//S)).clamp(0, T-1), descending;
+      x0    = sqrt(ac_t) x - sqrt(1-ac_t) v       (p_mean_variance:190-193)
+      eps   = (sqrt(1/ac_t) x - x0) / sqrt(1/ac_t - 1)
+      x_{t-stride} = sqrt(ac_prev) x0 + sqrt(1-ac_prev-sigma^2) eps [+ noise]
+
+    `percentile` reproduces the dynamic x0 clamp (p_mean_variance:196-199).
+    v_fn(x, t) must already fold in classifier-free guidance.
+    """
+    T = sched.num_timesteps
+    stride = T // num_steps
+    steps = np.clip(1 + np.arange(0, T, stride), 0, T - 1)[::-1].copy()
+    ac = np.asarray(sched.alphas_cumprod, np.float64)
+    a_t = jnp.asarray(ac[steps], jnp.float32)
+    a_prev = jnp.asarray(ac[np.clip(steps - stride, 0, None)], jnp.float32)
+    sig = jnp.asarray(
+        eta * np.sqrt((1 - ac[np.clip(steps - stride, 0, None)]) / (1 - ac[steps])
+                      * (1 - ac[steps] / ac[np.clip(steps - stride, 0, None)])),
+        jnp.float32)
+    nonzero = jnp.asarray((steps != 0).astype(np.float32))
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, len(steps))
+
+    def step(carry, inp):
+        x = carry
+        t, at, ap, s, nz, key = inp
+        v = v_fn(x, t)
+        x0 = jnp.sqrt(at) * x - jnp.sqrt(1.0 - at) * v
+        if percentile is not None:
+            flat = jnp.abs(x0.reshape(x0.shape[0], -1))
+            q = jnp.quantile(flat.astype(jnp.float32), percentile, axis=1)
+            q = jnp.maximum(q, 1.0).reshape((-1,) + (1,) * (x0.ndim - 1))
+            x0 = jnp.clip(x0, -q, q) / q
+        eps_hat = (jnp.sqrt(1.0 / at) * x - x0) / jnp.sqrt(1.0 / at - 1.0)
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        direction = jnp.sqrt(1.0 - ap - s ** 2) * eps_hat
+        x = jnp.sqrt(ap) * x0 + direction + nz * s * noise
+        return x, None
+
+    x, _ = jax.lax.scan(step, x, (jnp.asarray(steps), a_t, a_prev, sig,
+                                  nonzero, keys))
     return x
 
 

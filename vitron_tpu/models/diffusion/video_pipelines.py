@@ -1,31 +1,45 @@
-"""Text-to-video (ZeroScope) and image-to-video (I2VGen-XL) pipelines.
+"""Text-to-video (ZeroScope/T2V) and image-to-video (I2VGen-XL) pipelines.
 
 TPU-native rebuild of the Vitron video-generation backends (reference:
-app.py:215-240 — ZeroScope 576w, 50 steps DPM-Solver++, 320x576, 24 frames;
+app.py:215-240 — ZeroScope 576w, 50 steps, 320x576, 24 frames;
 app.py:316-342 — I2VGenXL 50 steps, guidance 9.0, fixed seed, negative
-prompt). The reference loads each diffusers pipeline from disk per request
-and offloads to CPU; here weights are resident and every sampler step is one
-jitted video-UNet call with cond+uncond batched.
+prompt; in-repo engine: modules/i2vgen-xl/tools/inferences/
+inference_i2vgen_entrance.py:100-234). The reference loads each pipeline
+from disk per request and offloads to CPU; here weights are resident and
+every sampler step is one jitted video-UNet call with cond+uncond batched.
+
+The UNets are the faithful UNetSD_T2VBase / UNetSD_I2VGen rebuilds
+(unet_sd_video.py) whose convert_torch loads real upstream checkpoints;
+sampling is the reference's v-prediction DDIM over the cosine
+zero-terminal-SNR schedule (configs/i2vgen_xl_train.yaml:52-66).
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vitron_tpu.models.diffusion import clip_text, samplers, vae, video_unet
+from vitron_tpu.models.diffusion import clip_text, samplers, unet_sd_video, vae
 from vitron_tpu.models.diffusion.vae import SD_SCALE_FACTOR
+
+
+def _schedule(cfg_unet) -> samplers.DiffusionSchedule:
+    # DiffusionDDIM schedule (i2vgen_xl_train.yaml:52-60 / t2v_train.yaml)
+    return samplers.DiffusionSchedule.create(
+        "cosine", 1000, zero_terminal_snr=True)
 
 
 @dataclasses.dataclass(frozen=True)
 class Text2VideoConfig:
-    unet: video_unet.VideoUNetConfig = dataclasses.field(
-        default_factory=video_unet.VideoUNetConfig.zeroscope)
+    unet: unet_sd_video.UNetSDVideoConfig = dataclasses.field(
+        default_factory=unet_sd_video.UNetSDVideoConfig.t2v)
     vae: vae.VAEConfig = dataclasses.field(default_factory=vae.VAEConfig.sd)
-    text: clip_text.TextConfig = dataclasses.field(default_factory=clip_text.TextConfig.clip_l)
+    text: clip_text.TextConfig = dataclasses.field(
+        default_factory=lambda: clip_text.TextConfig.clip_l(hidden_size=1024,
+                                                            num_heads=16))
     height: int = 320
     width: int = 576
     num_frames: int = 24
@@ -35,7 +49,8 @@ class Text2VideoConfig:
     @staticmethod
     def tiny(**kw) -> "Text2VideoConfig":
         base = dict(
-            unet=video_unet.VideoUNetConfig.tiny(),
+            unet=unet_sd_video.UNetSDVideoConfig.tiny(
+                "t2v", context_dim=16, y_dim=16),
             vae=vae.VAEConfig.tiny(),
             text=clip_text.TextConfig.tiny(hidden_size=16, num_heads=2,
                                            intermediate_size=32),
@@ -50,7 +65,7 @@ class Text2VideoConfig:
 
 
 class Text2VideoPipeline:
-    """prompt -> [T, H, W, 3] uint8 frames (ZeroScope-style)."""
+    """prompt -> [T, H, W, 3] uint8 frames (UNetSD_T2VBase / ZeroScope)."""
 
     def __init__(self, cfg: Text2VideoConfig, unet_params, vae_params,
                  text_params, tokenizer=None):
@@ -73,24 +88,24 @@ class Text2VideoPipeline:
         cfg = self.cfg
         steps = steps or cfg.steps
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        context = self.encode_prompt([prompt])
-        uc = self.encode_prompt([negative_prompt])
-        ctx2 = jnp.concatenate([context, uc], axis=0)
+        ctx2 = jnp.concatenate(
+            [self.encode_prompt([prompt]), self.encode_prompt([negative_prompt])],
+            axis=0)
         gs = cfg.guidance_scale
 
-        def eps(x, t, gate):
+        def v_fn(x, t):
             xx = jnp.concatenate([x, x], axis=0)
-            tt = jnp.broadcast_to(jnp.asarray(t), (2,))
-            out = video_unet.forward(self.unet_params, cfg.unet, xx, tt, ctx2)
-            e_c, e_uc = jnp.split(out, 2, axis=0)
-            return e_uc + gs * (e_c - e_uc)
+            tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (2,))
+            out = unet_sd_video.forward(self.unet_params, cfg.unet, xx, tt,
+                                        y=ctx2)
+            v_c, v_uc = jnp.split(out, 2, axis=0)
+            return v_uc + gs * (v_c - v_uc)
 
         lh, lw = cfg.latent_hw
         rng, k = jax.random.split(rng)
-        x = jax.random.normal(
-            k, (1, cfg.num_frames, lh, lw, cfg.unet.spatial.out_channels))
-        sched = samplers.DiffusionSchedule.create("linear", 1000, 0.00085, 0.012)
-        x = samplers.dpm_solver_pp_2m(eps, x, sched, steps)
+        x = jax.random.normal(k, (1, cfg.num_frames, lh, lw, cfg.unet.in_dim))
+        sched = _schedule(cfg.unet)
+        x = samplers.ddim_sample_v(v_fn, x, sched, steps)
         frames = vae.decode(self.vae_params, cfg.vae,
                             x[0] / SD_SCALE_FACTOR)  # [T, H, W, 3]
         frames = jnp.clip(frames, -1, 1) * 0.5 + 0.5
@@ -99,23 +114,23 @@ class Text2VideoPipeline:
 
 @dataclasses.dataclass(frozen=True)
 class Image2VideoConfig:
-    unet: video_unet.VideoUNetConfig = dataclasses.field(
-        default_factory=video_unet.VideoUNetConfig.i2vgen)
+    unet: unet_sd_video.UNetSDVideoConfig = dataclasses.field(
+        default_factory=unet_sd_video.UNetSDVideoConfig.i2vgen_xl)
     vae: vae.VAEConfig = dataclasses.field(default_factory=vae.VAEConfig.sd)
-    text: clip_text.TextConfig = dataclasses.field(default_factory=clip_text.TextConfig.clip_l)
+    text: clip_text.TextConfig = dataclasses.field(
+        default_factory=lambda: clip_text.TextConfig.clip_l(hidden_size=1024,
+                                                            num_heads=16))
     size: int = 512
     num_frames: int = 16
+    fps: int = 16                 # FPS condition (i2vgen_xl_infer.yaml:8)
     steps: int = 50
     guidance_scale: float = 9.0
 
     @staticmethod
     def tiny(**kw) -> "Image2VideoConfig":
-        import dataclasses as dc
-
-        tiny_spatial = video_unet.VideoUNetConfig.tiny()
         base = dict(
-            unet=dc.replace(tiny_spatial,
-                            spatial=dc.replace(tiny_spatial.spatial, in_channels=8)),
+            unet=unet_sd_video.UNetSDVideoConfig.tiny(
+                "i2vgen", context_dim=16, y_dim=16),
             vae=vae.VAEConfig.tiny(),
             text=clip_text.TextConfig.tiny(hidden_size=16, num_heads=2,
                                            intermediate_size=32),
@@ -129,17 +144,24 @@ class Image2VideoConfig:
 
 
 class Image2VideoPipeline:
-    """image (+prompt) -> video frames (I2VGen-XL-style conditioning:
-    first-frame latent concatenated channelwise; reference
-    unet_i2vgen.py:20-418)."""
+    """image (+prompt) -> video frames, UNetSD_I2VGen conditioning: global
+    CLIP image embedding + first-frame latent through the UNet's concat and
+    local-context streams (unet_i2vgen.py:280-325).
+
+    `image_embedder(image_uint8) -> [1, y_dim]` supplies the global CLIP
+    visual embedding (reference FrozenOpenCLIPTtxtVisualEmbedder,
+    inference_i2vgen_entrance.py:195); when absent a zero embedding is used.
+    """
 
     def __init__(self, cfg: Image2VideoConfig, unet_params, vae_params,
-                 text_params, tokenizer=None):
+                 text_params, tokenizer=None,
+                 image_embedder: Optional[Callable] = None):
         self.cfg = cfg
         self.unet_params = unet_params
         self.vae_params = vae_params
         self.text_params = text_params
         self.tokenizer = tokenizer
+        self.image_embedder = image_embedder
 
     def encode_prompt(self, texts):
         tok = self.tokenizer(texts, padding="max_length",
@@ -156,31 +178,36 @@ class Image2VideoPipeline:
         cfg = self.cfg
         steps = steps or cfg.steps
         rng = rng if rng is not None else jax.random.PRNGKey(8800)  # app.py:332
-        context = self.encode_prompt([prompt])
-        uc = self.encode_prompt([negative_prompt])
-        ctx2 = jnp.concatenate([context, uc], axis=0)
+        ctx2 = jnp.concatenate(
+            [self.encode_prompt([prompt]), self.encode_prompt([negative_prompt])],
+            axis=0)
         gs = cfg.guidance_scale
 
         img = (image.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         mean, _ = vae.encode(self.vae_params, cfg.vae, img[None])
-        first_latent = mean * SD_SCALE_FACTOR  # [1, h, w, z]
-        cond = jnp.broadcast_to(first_latent[:, None],
-                                (1, cfg.num_frames) + first_latent.shape[1:])
-        cond2 = jnp.concatenate([cond, cond], axis=0)
+        local = mean * SD_SCALE_FACTOR                 # [1, h, w, 4]
+        local2 = jnp.concatenate([local, local], axis=0)
+        if self.image_embedder is not None:
+            glob = jnp.asarray(self.image_embedder(image))
+        else:
+            glob = jnp.zeros((1, cfg.unet.y_dim), jnp.float32)
+        glob2 = jnp.concatenate([glob, jnp.zeros_like(glob)], axis=0)
+        fps2 = jnp.full((2,), float(cfg.fps), jnp.float32)
 
-        def eps(x, t, gate):
+        def v_fn(x, t):
             xx = jnp.concatenate([x, x], axis=0)
-            xx = jnp.concatenate([xx, cond2], axis=-1)
-            tt = jnp.broadcast_to(jnp.asarray(t), (2,))
-            out = video_unet.forward(self.unet_params, cfg.unet, xx, tt, ctx2)
-            e_c, e_uc = jnp.split(out, 2, axis=0)
-            return e_uc + gs * (e_c - e_uc)
+            tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (2,))
+            out = unet_sd_video.forward(
+                self.unet_params, cfg.unet, xx, tt, y=ctx2, fps=fps2,
+                image=glob2, local_image=local2)
+            v_c, v_uc = jnp.split(out, 2, axis=0)
+            return v_uc + gs * (v_c - v_uc)
 
         ls = cfg.latent_size
         rng, k = jax.random.split(rng)
-        x = jax.random.normal(k, (1, cfg.num_frames, ls, ls, 4))
-        sched = samplers.DiffusionSchedule.create("linear", 1000, 0.00085, 0.012)
-        x = samplers.ddim_sample(eps, x, sched, steps)
+        x = jax.random.normal(k, (1, cfg.num_frames, ls, ls, cfg.unet.in_dim))
+        sched = _schedule(cfg.unet)
+        x = samplers.ddim_sample_v(v_fn, x, sched, steps)
         frames = vae.decode(self.vae_params, cfg.vae, x[0] / SD_SCALE_FACTOR)
         frames = jnp.clip(frames, -1, 1) * 0.5 + 0.5
         return (frames * 255).astype(jnp.uint8)

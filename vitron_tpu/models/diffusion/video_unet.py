@@ -80,8 +80,10 @@ def temporal_conv_block(p, x):
         return y.reshape(b, h, w, t, -1).transpose(0, 3, 1, 2, 4)
 
     def gn(x, s, bias):
-        # torch GroupNorm on [b, c, t, h, w]: stats per group over (t, h, w)
-        return group_norm(x, s, bias)
+        # torch GroupNorm on [b, c, t, h, w]: stats per group over (t, h, w);
+        # eps matches torch's GroupNorm default (the diffusion transformers
+        # use 1e-6, but these blocks are built with the default)
+        return group_norm(x, s, bias, eps=1e-5)
 
     for i in range(4):
         x = gn(x, p[f"norm{i}_s"], p[f"norm{i}_b"])
