@@ -124,6 +124,104 @@ def test_generation_route(tiny_cfg):
     assert out["image"].shape == (32, 32, 3)
 
 
+def _tiny_editor(with_depth=False):
+    from vitron_tpu.models.diffusion import (clip_text, controlnet, depth,
+                                             stablevideo, unet2d, vae)
+
+    ucfg = unet2d.UNetConfig.tiny()
+    vcfg = vae.VAEConfig.tiny()
+    tcfg = clip_text.TextConfig.tiny(hidden_size=16, num_heads=2,
+                                     intermediate_size=32)
+    kw = {}
+    if with_depth:
+        dcfg = depth.DPTConfig.tiny()
+        kw["depth_control_params"] = controlnet.init_params(
+            jax.random.PRNGKey(9), ucfg)
+        kw["depth_annotator"] = (depth.init_params(jax.random.PRNGKey(8), dcfg),
+                                 dcfg)
+    return stablevideo.StableVideoEditor(
+        ucfg, unet2d.init_params(jax.random.PRNGKey(0), ucfg, grounding=False),
+        controlnet.init_params(jax.random.PRNGKey(1), ucfg),
+        vcfg, vae.init_params(jax.random.PRNGKey(2), vcfg),
+        tcfg, clip_text.init_params(jax.random.PRNGKey(3), tcfg),
+        tokenizer=SeemTok(), **kw)
+
+
+def _synthetic_atlas(t=3, h=32, w=32, ah=32, aw=32):
+    """Identity-ish UV maps + a centered fg alpha blob."""
+    ys = np.linspace(-1, 1, h, dtype=np.float32)
+    xs = np.linspace(-1, 1, w, dtype=np.float32)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    uv = np.stack([gx, gy], -1)
+    rs = np.random.RandomState(0)
+    alpha = np.zeros((h, w, 1), np.float32)
+    alpha[10:22, 10:22] = 1.0
+    return {
+        "fg_atlas": rs.rand(ah, aw, 3).astype(np.float32),
+        "bg_atlas": rs.rand(ah, aw, 3).astype(np.float32),
+        "fg_uv": np.broadcast_to(uv, (t, h, w, 2)).copy(),
+        "bg_uv": np.broadcast_to(uv, (t, h, w, 2)).copy(),
+        "alpha": np.broadcast_to(alpha, (t, h, w, 1)).copy(),
+    }
+
+
+def test_video_editing_route_foreground_and_background(tiny_cfg):
+    """F full flow (StableVideo/app.py:79-280): instruction[0] edits the
+    foreground via per-keyframe propagation + atlas scatter/median,
+    instruction[1] edits the background with the depth ControlNet; a
+    foreground-only edit must change frames only inside alpha."""
+    from vitron_tpu.models.diffusion import stablevideo as sv
+
+    atlas = _synthetic_atlas()
+    editor = _tiny_editor(with_depth=True)
+
+    sys_ = VitronSystem(ScriptedEngine(
+        tiny_cfg,
+        "<module>F</module> <instruction>make the object golden</instruction>"
+        "<instruction>turn the background into night</instruction>"))
+    sys_.register_video_editor(editor, atlas_provider=lambda v, e: atlas,
+                               num_keyframes=2)
+    out = sys_.chat("edit the video", video=np.zeros((3, 8, 8, 3), np.uint8))
+    assert out["status"] == "ok"
+    assert out["video"].shape == (3, 32, 32, 3)
+
+    # foreground-only: pixels outside alpha must be the original render
+    original = np.asarray(sv.render_frames(
+        jnp.asarray(atlas["fg_atlas"]), jnp.asarray(atlas["bg_atlas"]),
+        jnp.asarray(atlas["fg_uv"]), jnp.asarray(atlas["bg_uv"]),
+        jnp.asarray(atlas["alpha"])))
+    original = (np.clip(original, 0, 1) * 255).astype(np.uint8)
+
+    sys2 = VitronSystem(ScriptedEngine(
+        tiny_cfg,
+        "<module>F</module> <instruction>make the object golden</instruction>"))
+    sys2.register_video_editor(editor, atlas_provider=lambda v, e: atlas,
+                               num_keyframes=2)
+    out2 = sys2.chat("edit", video=np.zeros((3, 8, 8, 3), np.uint8))
+    assert out2["status"] == "ok"
+    frames = out2["video"]
+    outside = atlas["alpha"][..., 0] == 0.0
+    np.testing.assert_array_equal(frames[outside], original[outside])
+    inside = atlas["alpha"][..., 0] > 0.0
+    assert (frames[inside].astype(int) - original[inside].astype(int) != 0).any()
+
+
+def test_advanced_edit_foreground_aggnet():
+    """AGGNet refinement runs and returns a finite atlas (app.py:256-276)."""
+    from vitron_tpu.models.diffusion import stablevideo as sv
+
+    atlas = _synthetic_atlas(t=2)
+    editor = _tiny_editor()
+    kfs = [(atlas["fg_atlas"] * 255).astype(np.uint8)] * 2
+    uvs = [atlas["fg_uv"][0], atlas["fg_uv"][1]]
+    alphas = [atlas["alpha"][0], atlas["alpha"][1]]
+    agg = sv.advanced_edit_foreground(
+        editor, kfs, uvs, alphas, atlas["fg_atlas"].shape[:2],
+        "a golden object", steps=4, aggnet_refine=True, aggnet_epochs=3)
+    assert agg.shape == atlas["fg_atlas"].shape
+    assert np.isfinite(agg).all()
+
+
 def test_end_to_end_chat_with_real_engine(tiny_cfg):
     """Real tiny engine + image through the whole stack (random weights ->
     chat fallthrough)."""

@@ -167,6 +167,15 @@ def canny_hint(image_uint8: np.ndarray, low: int = 100, high: int = 200) -> np.n
     return (np.stack([edges] * 3, axis=-1) / 255.0).astype(np.float32)
 
 
+def depth_hint(depth_params, depth_cfg, image_uint8: np.ndarray) -> np.ndarray:
+    """DPT depth hint for the depth-ControlNet background edit
+    (StableVideo/app.py:79-139); delegates to the parity-tested MiDaS
+    annotator in depth.py."""
+    from vitron_tpu.models.diffusion import depth as depth_mod
+
+    return depth_mod.depth_hint(depth_params, depth_cfg, image_uint8)
+
+
 def scatter_to_atlas(edited_frame: np.ndarray, uv: np.ndarray,
                      atlas_hw: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
     """Host: map an edited keyframe back to atlas space with griddata
@@ -192,7 +201,12 @@ class StableVideoEditor:
     reference rebuilds StableVideo per request, app.py:295-303)."""
 
     def __init__(self, unet_cfg, unet_params, control_params, vae_cfg,
-                 vae_params, text_cfg, text_params, tokenizer=None):
+                 vae_params, text_cfg, text_params, tokenizer=None,
+                 depth_control_params=None, depth_annotator=None):
+        """control_params: the canny ControlNet (control_sd15_canny.pth);
+        depth_control_params: the depth ControlNet used for background edits
+        (control_sd15_depth.pth, reference app.py:84-88);
+        depth_annotator: (dpt_params, DPTConfig) for the MiDaS hint."""
         self.unet_cfg = unet_cfg
         self.unet_params = unet_params
         self.control_params = control_params
@@ -201,6 +215,8 @@ class StableVideoEditor:
         self.text_cfg = text_cfg
         self.text_params = text_params
         self.tokenizer = tokenizer
+        self.depth_control_params = depth_control_params
+        self.depth_annotator = depth_annotator
 
     def _encode_prompt(self, texts):
         from vitron_tpu.models.diffusion import clip_text
@@ -211,15 +227,20 @@ class StableVideoEditor:
         return clip_text.encode(self.text_params, self.text_cfg,
                                 jnp.asarray(tok["input_ids"]))
 
-    def edit_image(self, image: jax.Array, hint: jax.Array, prompt: str,
+    def edit_image(self, image: Optional[jax.Array], hint: jax.Array,
+                   prompt: str,
                    negative_prompt: str = "", strength: float = 0.9,
                    steps: int = 20, guidance_scale: float = 9.0,
                    rng: Optional[jax.Array] = None,
-                   init_latent: Optional[jax.Array] = None) -> jax.Array:
+                   init_latent: Optional[jax.Array] = None,
+                   from_noise: bool = False,
+                   control: str = "canny") -> jax.Array:
         """ControlNet img2img (app.py:79-139 background path / :197-223
         keyframe path): stochastic-encode the init latent at strength*T,
         DDIM-decode with control residuals. image [H, W, 3] uint8; hint
-        [H, W, 3] float in [0, 1]."""
+        [H, W, 3] float in [0, 1]. `from_noise=True` samples the full DDIM
+        chain from pure noise instead (the first keyframe of
+        advanced_edit_foreground, app.py:203-209)."""
         from vitron_tpu.models.diffusion import controlnet, samplers, vae
         from vitron_tpu.models.diffusion.vae import SD_SCALE_FACTOR
 
@@ -229,8 +250,8 @@ class StableVideoEditor:
         uc = self._encode_prompt([negative_prompt])
         ctx2 = jnp.concatenate([context, uc], axis=0)
 
-        img = (image.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         if init_latent is None:
+            img = (image.astype(jnp.float32) / 255.0 - 0.5) / 0.5
             mean, _ = vae.encode(self.vae_params, self.vae_cfg, img[None])
             init_latent = mean * SD_SCALE_FACTOR
         # the hint encoder downsamples 8x; align it to the latent grid
@@ -241,19 +262,24 @@ class StableVideoEditor:
 
         sched = samplers.DiffusionSchedule.create("linear", 1000, 0.00085, 0.012)
         ts, alphas, alphas_prev, _ = samplers.make_ddim_arrays(sched, steps, 0.0)
-        t_enc = min(int(strength * steps), steps - 1)
-
-        # stochastic encode at step t_enc (ldm ddim stochastic_encode)
         rng, k = jax.random.split(rng)
-        a_enc = alphas[t_enc]
-        noise = jax.random.normal(k, init_latent.shape, init_latent.dtype)
-        x = jnp.sqrt(a_enc) * init_latent + jnp.sqrt(1 - a_enc) * noise
+        if from_noise:
+            t_enc = steps - 1
+            x = jax.random.normal(k, init_latent.shape, init_latent.dtype)
+        else:
+            t_enc = min(int(strength * steps), steps - 1)
+            # stochastic encode at step t_enc (ldm ddim stochastic_encode)
+            a_enc = alphas[t_enc]
+            noise = jax.random.normal(k, init_latent.shape, init_latent.dtype)
+            x = jnp.sqrt(a_enc) * init_latent + jnp.sqrt(1 - a_enc) * noise
 
         def eps(x, t, gate):
             xx = jnp.concatenate([x, x], axis=0)
             tt = jnp.broadcast_to(jnp.asarray(t), (2,))
-            ctrl = controlnet.control_residuals(
-                self.control_params, cfg, xx, hint2, tt, ctx2)
+            cp = (self.depth_control_params
+                  if control == "depth" and self.depth_control_params is not None
+                  else self.control_params)
+            ctrl = controlnet.control_residuals(cp, cfg, xx, hint2, tt, ctx2)
             out = controlnet.controlled_forward(
                 self.unet_params, cfg, xx, tt, ctx2, ctrl)
             e_c, e_uc = jnp.split(out, 2, axis=0)
@@ -268,6 +294,105 @@ class StableVideoEditor:
         out = vae.decode(self.vae_params, self.vae_cfg, x / SD_SCALE_FACTOR)[0]
         out = jnp.clip(out, -1, 1) * 0.5 + 0.5
         return (out * 255).astype(jnp.uint8)
+
+
+# ------------------------------------------------------ foreground editing
+
+def advanced_edit_foreground(
+    editor: "StableVideoEditor",
+    keyframes: List[np.ndarray],          # [H, W, 3] uint8 fg crops
+    keyframe_uvs: List[np.ndarray],       # [H, W, 2] in [-1, 1] into fg atlas
+    keyframe_alphas: List[np.ndarray],    # [H, W, 1] in [0, 1]
+    atlas_hw: Tuple[int, int],
+    prompt: str,
+    negative_prompt: str = "",
+    strength: float = 0.9,
+    steps: int = 20,
+    guidance_scale: float = 9.0,
+    rng: Optional[jax.Array] = None,
+    aggnet_refine: bool = False,
+    aggnet_epochs: int = 50,
+    aggnet_lr: float = 1e-3,
+) -> np.ndarray:
+    """The reference foreground flow (app.py:143-280): per-keyframe canny
+    ControlNet edit — the first keyframe from pure noise, later keyframes
+    initialised from the previous keyframe's atlas mapped through their own
+    UVs (stochastic encode at strength*T, app.py:197-223) — alpha-multiplied,
+    scattered to atlas space (scipy griddata on host, app.py:241-251),
+    median-aggregated across keyframes, optionally refined with a small
+    AGGNet trained to reproduce the edited keyframes (app.py:256-276).
+
+    Returns the aggregated foreground atlas [Ha, Wa, 3] float in [0, 1].
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    n = len(keyframes)
+    per_kf_atlas = np.zeros((n,) + tuple(atlas_hw) + (3,), np.float32)
+    edited_list = []
+
+    for i in range(n):
+        kf = np.asarray(keyframes[i])
+        hint = canny_hint(kf)
+        rng, k = jax.random.split(rng)
+        if i == 0:
+            edited = editor.edit_image(
+                jnp.asarray(kf), jnp.asarray(hint), prompt, negative_prompt,
+                steps=steps, guidance_scale=guidance_scale, rng=k,
+                from_noise=True)
+        else:
+            # propagate: previous keyframe's atlas sampled at this frame's UVs
+            mapped = grid_sample_bilinear(
+                jnp.asarray(per_kf_atlas[i - 1]), jnp.asarray(keyframe_uvs[i]))
+            mapped = jnp.clip(mapped, 0.0, 1.0)
+            edited = editor.edit_image(
+                (mapped * 255).astype(jnp.uint8), jnp.asarray(hint), prompt,
+                negative_prompt, strength=strength, steps=steps,
+                guidance_scale=guidance_scale, rng=k)
+        edited_f = np.asarray(edited, np.float32) / 255.0
+        edited_f = edited_f * np.asarray(keyframe_alphas[i])  # app.py:234
+        edited_list.append(edited_f)
+        atlas_i, _ = scatter_to_atlas(edited_f, np.asarray(keyframe_uvs[i]),
+                                      atlas_hw)
+        per_kf_atlas[i] = atlas_i
+
+    agg = np.median(per_kf_atlas, axis=0)  # app.py:255
+
+    if aggnet_refine and n > 1:
+        agg = np.asarray(_aggnet_refine(
+            jnp.asarray(agg), [jnp.asarray(e) for e in edited_list],
+            [jnp.asarray(u) for u in keyframe_uvs],
+            epochs=aggnet_epochs, lr=aggnet_lr))
+    return agg
+
+
+def _aggnet_refine(agg_atlas: jax.Array, edited_frames: List[jax.Array],
+                   uvs: List[jax.Array], epochs: int = 50,
+                   lr: float = 1e-3) -> jax.Array:
+    """AGGNet refinement (app.py:256-276): train a 2-conv residual net with
+    SGD+momentum so grid-sampling the refined atlas reproduces every edited
+    keyframe (L1), then apply it once. All on device via optax."""
+    import optax
+
+    params = aggnet_init(jax.random.PRNGKey(0))
+    opt = optax.sgd(lr, momentum=0.9)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        refined = aggnet_forward(p, agg_atlas[None])[0]
+        total = 0.0
+        for e, uv in zip(edited_frames, uvs):
+            rec = jnp.clip(grid_sample_bilinear(refined, uv), 0.0, 1.0)
+            total = total + jnp.mean(jnp.abs(rec - e))
+        return total
+
+    @jax.jit
+    def train_step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    for _ in range(epochs):
+        params, opt_state, _ = train_step(params, opt_state)
+    return aggnet_forward(params, agg_atlas[None])[0]
 
 
 # ----------------------------------------------------------------- AGGNet

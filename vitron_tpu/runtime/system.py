@@ -187,12 +187,17 @@ class VitronSystem:
 
         self.registry.register("G", handle_g)
 
-    def register_video_editor(self, editor, atlas_provider=None):
-        self._track("video_editor", editor.__dict__)
-        """F video_editing (app.py:276-313): edit the background atlas with
-        ControlNet and re-render; `atlas_provider(video)` must return the
+    def register_video_editor(self, editor, atlas_provider=None,
+                              num_keyframes: int = 3):
+        """F video_editing (app.py:276-313 + StableVideo/app.py:79-280):
+        instruction[0] edits the foreground (per-keyframe canny ControlNet
+        with atlas propagation, scatter + median aggregation), instruction[1]
+        edits the background (depth ControlNet when the editor carries a
+        depth annotator, canny otherwise); both atlases re-render with the
+        per-frame UVs. `atlas_provider(video, extra)` must return the
         precomputed atlas bundle (the reference expects per-video NLA
         checkpoints, StableVideo/app.py:67-76)."""
+        self._track("video_editor", editor.__dict__)
         import jax.numpy as jnp
 
         from vitron_tpu.models.diffusion import stablevideo as sv
@@ -201,18 +206,52 @@ class VitronSystem:
             if atlas_provider is None:
                 return {"status": "error",
                         "error": "video_editing needs precomputed atlases"}
-            prompt = (req.instructions or [req.text])[0]
+            instructions = req.instructions or [req.text]
+            fore_prompt = instructions[0]
+            back_prompt = instructions[1] if len(instructions) > 1 else ""
             atlas = atlas_provider(req.video, req.extra)
-            bg = atlas["bg_atlas"]  # [Ha, Wa, 3] float in [0, 1]
-            hint = sv.canny_hint((np.asarray(bg) * 255).astype(np.uint8))
-            edited = editor.edit_image(
-                jnp.asarray((np.asarray(bg) * 255).astype(np.uint8)),
-                jnp.asarray(hint), prompt)
-            edited_f = jnp.asarray(edited, jnp.float32) / 255.0
+            fg_atlas = jnp.asarray(atlas["fg_atlas"])   # [Ha, Wa, 3] in [0,1]
+            bg_atlas = jnp.asarray(atlas["bg_atlas"])
+            fg_uv = np.asarray(atlas["fg_uv"])          # [T, H, W, 2]
+            alpha = np.asarray(atlas["alpha"])          # [T, H, W, 1]
+            t_frames = fg_uv.shape[0]
+
+            # ---- foreground (advanced_edit_foreground, app.py:143-280)
+            if fore_prompt:
+                idxs = sorted(set(np.linspace(
+                    0, t_frames - 1, min(num_keyframes, t_frames)).astype(int)))
+                kfs, uvs, alphas = [], [], []
+                for k in idxs:
+                    crop = sv.grid_sample_bilinear(fg_atlas, jnp.asarray(fg_uv[k]))
+                    crop = np.asarray(jnp.clip(crop, 0, 1) * 255).astype(np.uint8)
+                    kfs.append(crop)
+                    uvs.append(fg_uv[k])
+                    alphas.append(alpha[k])
+                fg_edited = jnp.asarray(sv.advanced_edit_foreground(
+                    editor, kfs, uvs, alphas, fg_atlas.shape[:2], fore_prompt))
+            else:
+                fg_edited = fg_atlas
+
+            # ---- background: depth ControlNet (app.py:79-139)
+            if back_prompt:
+                bg_u8 = np.asarray(jnp.clip(bg_atlas, 0, 1) * 255).astype(np.uint8)
+                if editor.depth_annotator is not None:
+                    dparams, dcfg = editor.depth_annotator
+                    hint = sv.depth_hint(dparams, dcfg, bg_u8)
+                    ctrl = "depth"
+                else:
+                    hint = sv.canny_hint(bg_u8)
+                    ctrl = "canny"
+                edited = editor.edit_image(
+                    jnp.asarray(bg_u8), jnp.asarray(hint), back_prompt,
+                    control=ctrl)
+                bg_edited = jnp.asarray(edited, jnp.float32) / 255.0
+            else:
+                bg_edited = bg_atlas
+
             frames = sv.render_frames(
-                jnp.asarray(atlas["fg_atlas"]), edited_f,
-                jnp.asarray(atlas["fg_uv"]), jnp.asarray(atlas["bg_uv"]),
-                jnp.asarray(atlas["alpha"]))
+                fg_edited, bg_edited, jnp.asarray(fg_uv),
+                jnp.asarray(atlas["bg_uv"]), jnp.asarray(alpha))
             return {"video": np.asarray(jnp.clip(frames, 0, 1) * 255).astype(np.uint8)}
 
         self.registry.register("F", handle_f)
