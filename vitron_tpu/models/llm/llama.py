@@ -39,7 +39,8 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-5
     max_seq_len: int = 4096
-    attn_impl: str = "xla"  # "xla" | "flash"
+    attn_impl: str = "xla"  # "xla" | "flash" | "ring"
+    context_axis: str = "context"  # mesh axis for attn_impl="ring"
     remat: bool = False
     param_dtype: Any = jnp.bfloat16
     compute_dtype: Any = jnp.bfloat16
@@ -192,9 +193,25 @@ def _mm(x, w):
     return matmul_maybe_quantized(x, w)
 
 
-def _attend(q, k, v, mask, scale, impl: str, kv_mask=None, q_offset=0):
+def _attend(q, k, v, mask, scale, impl: str, kv_mask=None, q_offset=0,
+            mesh=None, context_axis="context"):
     """mask: dense [B,1,S,T] (XLA path); kv_mask/q_offset: flash-path
-    equivalent (causal in key-slot space + per-slot validity)."""
+    equivalent (causal in key-slot space + per-slot validity).
+
+    impl="ring" (prefill only, requires `mesh` with a sized context axis):
+    sequence-parallel ring attention over ICI (distributed/ring_attention.py)
+    — the long-video capability the reference lacks (it drops videos to 8
+    frames, processing_video.py:93). The ring path assumes densely packed
+    sequences (attn_mask all True) sharded contiguously over the axis."""
+    if impl == "ring" and q.shape[1] > 1 and mesh is not None:
+        from vitron_tpu.distributed.ring_attention import ring_attention
+
+        groups = q.shape[2] // k.shape[2]
+        if groups > 1:  # GQA: expand K/V heads for the ring einsum
+            k = jnp.repeat(k, groups, axis=2)
+            v = jnp.repeat(v, groups, axis=2)
+        return ring_attention(q, k, v, mesh, axis_name=context_axis,
+                              scale=float(scale), causal=True)
     if impl == "flash" and q.shape[1] > 1:
         from vitron_tpu.kernels.flash_attention import flash_attention
 
@@ -211,6 +228,7 @@ def forward(
     attn_mask: Optional[jax.Array] = None,  # [B, S] bool, True = real token
     cache: Optional[KVCache] = None,
     return_hidden: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder.
 
@@ -251,7 +269,8 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn_out = _attend(q, k, v, mask, scale, cfg.attn_impl,
-                           kv_mask=kv_mask, q_offset=q_offset)
+                           kv_mask=kv_mask, q_offset=q_offset,
+                           mesh=mesh, context_axis=cfg.context_axis)
         x = x + _mm(attn_out.reshape(b, s, h), lp["wo"])
         xn = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         x = x + _mm(jax.nn.silu(_mm(xn, lp["gate"])) * _mm(xn, lp["up"]), lp["down"])

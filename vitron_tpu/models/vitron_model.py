@@ -136,8 +136,13 @@ def forward(
     region_boxes: Optional[jax.Array] = None,
     region_block_idx: Optional[jax.Array] = None,
     cache: Optional[llama.KVCache] = None,
+    mesh=None,
 ) -> Tuple[jax.Array, Optional[llama.KVCache]]:
-    """Multimodal prefill: encode media, splice, run the decoder."""
+    """Multimodal prefill: encode media, splice, run the decoder.
+
+    `mesh` enables the llm's ring-attention path (cfg.llm.attn_impl="ring"):
+    sequence-parallel prefill over the context axis for long-video QA — the
+    capability the reference caps at 8 frames (processing_video.py:93)."""
     image_feats, region_feats = encode_media(
         params, cfg, images, videos, block_perm, region_boxes, region_block_idx)
     embed_table = params["llm"]["embed"]
@@ -149,7 +154,7 @@ def forward(
             image_feats, region_feats)
     return llama.forward(
         params["llm"], cfg.llm, embeds, positions,
-        attn_mask=attn_mask, cache=cache)
+        attn_mask=attn_mask, cache=cache, mesh=mesh)
 
 
 def decode_step(
