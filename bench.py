@@ -117,6 +117,133 @@ def run(preset: str, prefill: int, n_new: int, quant: str = ""):
     return n_new / best
 
 
+def bench_e2e_request(quant: str = "int4") -> dict:
+    """Full multimodal request on one chip: ViT-L/14 image encode (256 media
+    tokens) + spliced prefill + 128-token greedy decode (the reference's
+    app.py:456-571 hot path, minus its per-request checkpoint reloads)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.constants import IMAGE_TOKEN_INDEX
+    from vitron_tpu.models import vitron_model
+    from vitron_tpu.models.llm import llama
+    from vitron_tpu.runtime.engine import MediaItem, prepare_batch
+    from vitron_tpu.runtime.generation import generate_scan
+
+    llm_cfg = llama.LlamaConfig(max_seq_len=512, **PRESETS["7b"])
+    cfg = vitron_model.VitronConfig(llm=llm_cfg)
+
+    def init(key):
+        p = vitron_model.init_params(key, cfg)
+        llm = dict(p["llm"])
+        layers = dict(llm["layers"])
+        for t in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+            w = layers[t]
+            kk = jax.random.fold_in(key, hash(t) % 1000)
+            packed = w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1])
+            layers[t] = {"q4": jax.random.randint(kk, packed, -128, 128, jnp.int8),
+                         "s": jnp.full(w.shape[:-2] + (1, w.shape[-1]), 2e-2,
+                                       jnp.float32)}
+        llm["layers"] = layers
+        return {**p, "llm": llm}
+
+    params = jax.jit(init)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    row = [1] + [7] * 24 + [IMAGE_TOKEN_INDEX] + [9] * 24
+    img = MediaItem("image", np.random.RandomState(0)
+                    .rand(cfg.image_tower.image_size, cfg.image_tower.image_size, 3)
+                    .astype(np.float32))
+    plan, images, _, _ = prepare_batch(
+        [row], [img], image_len=cfg.image_tower.num_patches)
+    arrays = (jnp.asarray(plan.token_ids), jnp.asarray(plan.media_idx),
+              jnp.asarray(plan.use_media), jnp.asarray(plan.position_ids),
+              jnp.asarray(plan.attention_mask), jnp.asarray(plan.seq_lens))
+    images = jnp.asarray(images)
+
+    def req():
+        return generate_scan(params, cfg, arrays, 128, jax.random.PRNGKey(1),
+                             images=images)
+
+    np.asarray(req())  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(req())
+        best = min(best, time.perf_counter() - t0)
+    return {"e2e_request_s": round(best, 3),
+            "e2e_req_per_min_chip": round(60.0 / best, 1)}
+
+
+def bench_seem_fps() -> dict:
+    """SEEM FocalNet-L video tracking, 8 frames batched (the reference runs
+    a 5 fps serial per-frame loop, interactive.py:227)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.models.seem import model as seem_model
+
+    cfg = seem_model.SeemConfig()
+    params = jax.jit(lambda k: seem_model.init_params(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    frames = jnp.asarray(np.random.RandomState(0)
+                         .rand(8, cfg.input_size, cfg.input_size, 3)
+                         .astype(np.float32))
+    ref = frames[0]
+    stroke = jnp.zeros((cfg.input_size, cfg.input_size), bool).at[200:300, 200:300].set(True)
+
+    fn = jax.jit(lambda p, f, r, s: seem_model.track_video(p, cfg, f, r, s))
+    np.asarray(fn(params, frames, ref, stroke))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, frames, ref, stroke))
+        best = min(best, time.perf_counter() - t0)
+    return {"seem_track_fps": round(8.0 / best, 1)}
+
+
+def bench_sd_unet() -> dict:
+    """SD v1.4 UNet CFG step rate at 512^2 latents (GLIGEN's 50-step PLMS
+    workload, task_grounded_generation.py:252)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.models.diffusion import unet2d
+
+    cfg = unet2d.UNetConfig.sd_v1()
+    params = jax.jit(lambda k: unet2d.init_params(k, cfg, grounding=False))(
+        jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                          if x.dtype == jnp.float32 else x, params)
+    jax.block_until_ready(params)
+    x = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)  # cond + uncond batched
+    ctx = jnp.zeros((2, 77, cfg.context_dim), jnp.bfloat16)
+    n_steps = 10
+
+    @jax.jit
+    def steps(params, x, ctx):
+        def body(x, t):
+            eps = unet2d.forward(params, cfg, x, jnp.full((2,), t), ctx)
+            return x - 0.01 * eps.astype(x.dtype), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32))
+        return x
+
+    np.asarray(steps(params, x, ctx))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(steps(params, x, ctx))
+        best = min(best, time.perf_counter() - t0)
+    return {"sd_unet_cfg_steps_per_s": round(n_steps / best, 2)}
+
+
 def main():
     preset = os.environ.get("VITRON_BENCH_PRESET", "7b")
     if preset not in PRESETS:
@@ -147,11 +274,24 @@ def main():
         return
     vs = toks / A100_HF_VICUNA7B_TOKS if used == "7b" else None
     dtype_tag = quant or "bf16"
+
+    # north-star extras (BASELINE.md): e2e request, SEEM fps, UNet steps/s —
+    # each best-effort so a failure cannot take down the primary metric
+    extras = {}
+    if os.environ.get("VITRON_BENCH_EXTRAS", "1") == "1" and used == "7b":
+        for fn in (bench_e2e_request, bench_seem_fps, bench_sd_unet):
+            try:
+                extras.update(fn())
+            except Exception as e:
+                print(f"# extra {fn.__name__} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+
     print(json.dumps({
         "metric": f"vicuna-{used} decode tokens/sec/chip (greedy, {dtype_tag} weights)",
         "value": round(toks, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        **({"extras": extras} if extras else {}),
     }))
 
 

@@ -106,6 +106,55 @@ def test_table_grows_past_max_blocks(tiny):
     assert paged == dense
 
 
+def test_step_n_chunked_matches_dense(tiny):
+    """step_n (one program, n scanned decode steps, in-program int4
+    promotion path) must reproduce dense-cache greedy, 16/16 tokens,
+    including across a block boundary and a table growth."""
+    cfg, params = tiny
+    prompt = [5, 17, 3, 99, 42]
+    n = 16
+
+    cache = llama.KVCache.create(cfg, 1, max_len=64)
+    logits, cache = llama.forward_tokens(
+        params, cfg, jnp.asarray([prompt]),
+        positions=jnp.arange(len(prompt))[None], cache=cache)
+    tok = int(jnp.argmax(logits[0, -1]))
+    dense = [tok]
+    for i in range(n - 1):
+        l, cache = llama.forward_tokens(
+            params, cfg, jnp.asarray([[tok]]),
+            positions=jnp.asarray([[len(prompt) + i]]), cache=cache)
+        tok = int(jnp.argmax(l[0, -1]))
+        dense.append(tok)
+
+    srv = PagedServer(params, cfg, num_blocks=32, block_size=4,
+                      max_blocks_per_seq=2)
+    sid = srv.add_request(prompt)
+    first = srv.step()[sid]          # samples the prefill token
+    rest = srv.step_n(n - 1)[sid]
+    assert [first] + rest == dense
+
+
+def test_step_n_two_sequences(tiny):
+    """Chunked decode over a ragged batch stays isolated per sequence."""
+    cfg, params = tiny
+    pa, pb = [5, 17, 3], [100, 42, 7, 9]
+
+    def alone(prompt, n=6):
+        srv = PagedServer(params, cfg, num_blocks=32, block_size=4)
+        sid = srv.add_request(prompt)
+        first = srv.step()[sid]
+        return [first] + srv.step_n(n - 1)[sid]
+
+    want_a, want_b = alone(pa), alone(pb)
+    srv = PagedServer(params, cfg, num_blocks=64, block_size=4)
+    sa, sb = srv.add_request(pa), srv.add_request(pb)
+    firsts = srv.step()
+    chunk = srv.step_n(5)
+    assert [firsts[sa]] + chunk[sa] == want_a
+    assert [firsts[sb]] + chunk[sb] == want_b
+
+
 def test_pool_exhaustion_raises(tiny):
     cfg, params = tiny
     srv = PagedServer(params, cfg, num_blocks=2, block_size=4)

@@ -22,6 +22,7 @@ from vitron_tpu.mm.conversation import conv_templates
 from vitron_tpu.mm.protocol import parse_model_output
 from vitron_tpu.mm.splice import SplicePlan, plan_splice
 from vitron_tpu.mm.tokenization import KeywordStopper, tokenizer_image_region_token
+from vitron_tpu.runtime import generation as _gen_mod
 from vitron_tpu.runtime.generation import Generator, SamplingConfig
 
 
@@ -122,7 +123,7 @@ class VitronEngine:
         history: Optional[List[Tuple[str, str]]] = None,
         sampling: SamplingConfig = SamplingConfig(),
         rng=None,
-        decode_chunk: Optional[int] = 32,
+        decode_chunk: Optional[int] = None,  # auto: 128 for int4, 32 otherwise
     ) -> Dict[str, Any]:
         conv = conv_templates[self.conv_template].copy()
         for u, a in history or []:
@@ -149,11 +150,13 @@ class VitronEngine:
             sampling=sampling,
             rng=rng,
             stopper=stopper,
-            # 32-token device chunks with EOS early exit: ~3-5x interactive
-            # decode vs per-token stepping (each tunnel dispatch + per-token
-            # host sync costs ~1 ms + a round-trip); the keyword stopper is
-            # checked at chunk boundaries instead of every 8 tokens
-            decode_chunk=decode_chunk,
+            # device chunks with EOS early exit: ~3-5x interactive decode
+            # vs per-token stepping (each tunnel dispatch + per-token host
+            # sync costs ~1 ms + a round-trip); int4 weights auto-chunk at
+            # 128 so the in-program s4 promotion amortizes to ~0.3 ms/token.
+            # The keyword stopper is checked at chunk boundaries.
+            decode_chunk=decode_chunk if decode_chunk is not None else (
+                None if _gen_mod._has_packed_int4(self.generator.params) else 32),
         )[0]
         text = self.tokenizer.decode(out, skip_special_tokens=True)
         if stop_str and text.endswith(stop_str):

@@ -38,6 +38,19 @@ class SamplingConfig:
     eos_ids: tuple = (2,)
 
 
+def _has_packed_int4(params) -> bool:
+    """True if any leaf dict is a packed-int4 weight ({'q4', 's'})."""
+    found = [False]
+
+    def visit(x):
+        if isinstance(x, dict) and "q4" in x:
+            found[0] = True
+
+    jax.tree.map(visit, params,
+                 is_leaf=lambda x: isinstance(x, dict) and "q4" in x)
+    return found[0]
+
+
 def sample_token(rng: jax.Array, logits: jax.Array, temperature: float,
                  top_p: float, greedy: bool) -> jax.Array:
     """logits: [B, V] -> token ids [B]. Nucleus (top-p) + temperature."""
@@ -145,8 +158,14 @@ class Generator:
         per-dispatch cost and enables the native-s4 int4 fast path; the
         stopper is checked between chunks (chunk plays the role of
         stop_check_every). Sampling RNG chains differ from the step path,
-        so stochastic outputs are not bitwise identical across modes."""
+        so stochastic outputs are not bitwise identical across modes.
+        None = auto: 128 for int4-packed weights (the in-program s4
+        promotion costs ~40 ms once per chunk; 128 amortizes it to ~0.3
+        ms/token so served decode matches the benchmark path), per-token
+        stepping otherwise. Pass 0 to force per-token stepping."""
         cfg, params = self.cfg, self.params
+        if decode_chunk is None and _has_packed_int4(params):
+            decode_chunk = 128
         b, pad_len = plan.token_ids.shape
         max_len = max_cache_len or (pad_len + sampling.max_new_tokens)
         cache = llama.KVCache.create(cfg.llm, b, max_len=max_len)
