@@ -163,9 +163,14 @@ def bench_e2e_request(quant: str = "int4") -> dict:
               jnp.asarray(plan.attention_mask), jnp.asarray(plan.seq_lens))
     images = jnp.asarray(images)
 
+    # the whole request is ONE jitted program: the in-program s4 promotion
+    # must not cross a jit boundary (kernels/quantization.py docstring)
+    req_fn = jax.jit(lambda p: generate_scan(p, cfg, arrays, 128,
+                                             jax.random.PRNGKey(1),
+                                             images=images))
+
     def req():
-        return generate_scan(params, cfg, arrays, 128, jax.random.PRNGKey(1),
-                             images=images)
+        return req_fn(params)
 
     np.asarray(req())  # compile
     best = float("inf")
@@ -185,6 +190,7 @@ def bench_seem_fps() -> dict:
     import jax
     import jax.numpy as jnp
 
+    from vitron_tpu.models.seem import decoder as seem_dec
     from vitron_tpu.models.seem import model as seem_model
 
     cfg = seem_model.SeemConfig()
@@ -194,14 +200,18 @@ def bench_seem_fps() -> dict:
                          .rand(8, cfg.input_size, cfg.input_size, 3)
                          .astype(np.float32))
     ref = frames[0]
-    stroke = jnp.zeros((cfg.input_size, cfg.input_size), bool).at[200:300, 200:300].set(True)
+    stroke = np.zeros((cfg.input_size, cfg.input_size), bool)
+    stroke[200:300, 200:300] = True
+    pts, valid = seem_dec.sample_stroke_points(
+        stroke, cfg.decoder.max_spatial_len, np.random.RandomState(0))
 
-    fn = jax.jit(lambda p, f, r, s: seem_model.track_video(p, cfg, f, r, s))
-    np.asarray(fn(params, frames, ref, stroke))  # compile
+    fn = jax.jit(lambda p, f, r, pt, va: seem_model.track_video(p, cfg, f, r, pt, va))
+    args = (params, frames, ref, jnp.asarray(pts), jnp.asarray(valid))
+    np.asarray(fn(*args))  # compile
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(fn(params, frames, ref, stroke))
+        np.asarray(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return {"seem_track_fps": round(8.0 / best, 1)}
 

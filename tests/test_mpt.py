@@ -117,3 +117,44 @@ def test_mpt_cache_matches_full():
     got = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(full),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_mpt_prefix_lm_parity(ref_attention):
+    """Prefix-LM mode vs the vendored torch model with
+    attn_config prefix_lm=True (modeling_mpt.py:99-132): prompt positions
+    attend bidirectionally, completions stay causal."""
+    try:
+        mod = load_reference_package_module(
+            "vitron.model.language_model.mpt.modeling_mpt")
+        cfg_mod = load_reference_package_module(
+            "vitron.model.language_model.mpt.configuration_mpt")
+    except BaseException as e:
+        pytest.skip(f"reference MPT unloadable: {e}")
+
+    attn_cfg = dict(cfg_mod.attn_config_defaults)
+    attn_cfg.update(attn_impl="torch", alibi=True, prefix_lm=True)
+    hf_cfg = cfg_mod.MPTConfig(
+        d_model=64, n_heads=4, n_layers=2, expansion_ratio=4, max_seq_len=64,
+        vocab_size=256, no_bias=True, learned_pos_emb=False,
+        norm_type="layernorm", attn_config=attn_cfg)
+    torch.manual_seed(1)
+    ref = mod.MPTForCausalLM(hf_cfg)
+    ref.eval()
+
+    cfg = mpt.MPTConfig.tiny(max_seq_len=64)
+    params = jax.tree.map(jnp.asarray, mpt.convert_hf_mpt(ref.state_dict(), cfg))
+    rs = np.random.RandomState(1)
+    ids = rs.randint(0, 256, (2, 12))
+    prefix = np.zeros((2, 12), np.int64)
+    prefix[0, :5] = 1   # row 0: 5-token bidirectional prompt
+    prefix[1, :8] = 1
+    with torch.no_grad():
+        want = ref(torch.tensor(ids),
+                   prefix_mask=torch.tensor(prefix, dtype=torch.uint8)).logits.numpy()
+    got = mpt.forward(params, cfg, jnp.asarray(ids),
+                      prefix_mask=jnp.asarray(prefix, bool))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+    # the prefix must actually change early-position logits vs pure causal
+    causal = mpt.forward(params, cfg, jnp.asarray(ids))
+    assert float(np.abs(np.asarray(causal) - np.asarray(got)).max()) > 1e-4

@@ -416,3 +416,36 @@ def test_resnet_parity():
                                r2.numpy(), rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(got[1]).transpose(0, 3, 1, 2),
                                r3.numpy(), rtol=3e-4, atol=3e-4)
+
+
+def test_segment_audio_smoke(tiny_seem):
+    """Audio-referred segmentation: transcript tokens route through the
+    decoder's AUDIO token group (seem_model.py:291-299) and select a mask."""
+    cfg, params = tiny_seem
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (64, 64, 3), np.uint8)
+    ids = np.zeros((1, cfg.lang.context_length), np.int64)
+    ids[0, :4] = [49, 10, 11, 50]
+    mask_tok = (ids != 0).astype(np.int64)
+    mask, _ = seem_model.segment_audio(
+        params, cfg, jnp.asarray(img), jnp.asarray(ids), jnp.asarray(mask_tok))
+    assert mask.shape == (16, 16)
+    assert bool(jnp.isfinite(mask).all())
+
+
+def test_audio_group_isolated_from_grounding(tiny_seem):
+    """Feeding the same tokens as audio vs grounding exercises different
+    decoder paths (different attention blocks) but both must return valid
+    masks; the audio-token group is last in the concatenation."""
+    cfg, params = tiny_seem
+    rs = np.random.RandomState(1)
+    img = rs.randint(0, 255, (64, 64, 3), np.uint8)
+    ids = np.zeros((1, cfg.lang.context_length), np.int64)
+    ids[0, :3] = [49, 22, 50]
+    m = (ids != 0).astype(np.int64)
+    a_mask, _ = seem_model.segment_audio(params, cfg, jnp.asarray(img),
+                                         jnp.asarray(ids), jnp.asarray(m))
+    t_mask, _ = seem_model.segment_text(params, cfg, jnp.asarray(img),
+                                        jnp.asarray(ids), jnp.asarray(m))
+    assert a_mask.shape == t_mask.shape
+    assert bool(jnp.isfinite(a_mask).all())

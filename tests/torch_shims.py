@@ -47,6 +47,12 @@ def install():
     layers.trunc_normal_ = trunc_normal_
     timm.models = timm_models
     timm_models.layers = layers
+    # GLIGEN's vendored convnext does `from timm.models.registry import
+    # register_model`; the fabricated timm.models must behave like a package
+    timm_models.__path__ = []
+    registry = mod("timm.models.registry")
+    registry.register_model = lambda fn: fn
+    timm_models.registry = registry
 
     # ---- timm.create_model: minimal replicas of the backbones the vendored
     # MiDaS vit.py builds (vit_base_resnet50_384 hybrid). State-dict names

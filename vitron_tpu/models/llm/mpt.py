@@ -64,13 +64,15 @@ def gen_alibi_slopes(n_heads: int, alibi_bias_max: float = 8.0) -> np.ndarray:
 
 
 def alibi_bias(n_heads: int, q_pos: jax.Array, k_pos: jax.Array,
-               alibi_bias_max: float = 8.0) -> jax.Array:
+               alibi_bias_max: float = 8.0, full: bool = False) -> jax.Array:
     """[H, Sq, Sk] bias = -slope * |distance| clamped at 0 for the causal
     half (the reference uses -(S-1..0) row offsets, attention.py:292-300:
-    bias is most negative for the most distant key)."""
+    bias is most negative for the most distant key). full=True is the
+    symmetric -|i-j| form prefix-LM / non-causal mode uses
+    (attention.py:292-299, build_alibi_bias full=not causal)."""
     slopes = jnp.asarray(gen_alibi_slopes(n_heads, alibi_bias_max))
-    dist = (k_pos[None, :] - q_pos[:, None]).astype(jnp.float32)
-    dist = jnp.minimum(dist, 0.0)  # causal side only; future masked anyway
+    diff = (k_pos[None, :] - q_pos[:, None]).astype(jnp.float32)
+    dist = -jnp.abs(diff) if full else jnp.minimum(diff, 0.0)
     return slopes[:, None, None] * dist[None]
 
 
@@ -108,14 +110,20 @@ def _ln_nobias(x, scale, eps):
 def forward(params: Dict[str, Any], cfg: MPTConfig, token_ids: jax.Array,
             positions: Optional[jax.Array] = None,
             attn_mask: Optional[jax.Array] = None,
-            cache=None):
+            cache=None,
+            prefix_mask: Optional[jax.Array] = None):
     """[B, S] -> logits [B, S, V] (tied head).
 
     Without a cache: causal prefill. With a llama.KVCache: writes this
     chunk's K/V at cache.index and attends the cache window with the ALiBi
     bias computed in slot space (contiguous, unpadded sequences — MPT decode
     assumes slot == position like the reference's past_key_values path,
-    modeling_mpt.py:144+). Returns (logits, new_cache) when cached."""
+    modeling_mpt.py:144+). Returns (logits, new_cache) when cached.
+
+    prefix_mask: [B, S] bool — prefix-LM mode (modeling_mpt.py:99-132,
+    hf_prefixlm_converter): positions marked True attend bidirectionally
+    (the prompt), the rest stay causal. Prefill-only, like the reference
+    (its _apply_prefix_mask requires the full-square bias)."""
     from vitron_tpu.models.llm.llama import KVCache
 
     b, s = token_ids.shape
@@ -133,8 +141,14 @@ def forward(params: Dict[str, Any], cfg: MPTConfig, token_ids: jax.Array,
 
     if cache is None:
         causal = jnp.tril(jnp.ones((s, s), bool))
-        mask = causal[None, None] & attn_mask[:, None, None, :]
-        bias = alibi_bias(nh, jnp.arange(s), jnp.arange(s), cfg.alibi_bias_max) \
+        allowed = causal[None, None]
+        if prefix_mask is not None:
+            # queries may attend any prefix position OR causally
+            # (modeling_mpt.py:127-131: ~(causal | prefix) cannot attend)
+            allowed = allowed | prefix_mask[:, None, None, :]
+        mask = allowed & attn_mask[:, None, None, :]
+        bias = alibi_bias(nh, jnp.arange(s), jnp.arange(s), cfg.alibi_bias_max,
+                          full=prefix_mask is not None) \
             if cfg.alibi else jnp.zeros((nh, s, s))
     else:
         t = cache.k.shape[2]

@@ -167,6 +167,8 @@ def forward(
     visual_valid: Optional[jax.Array] = None,
     visual_pos_embed: Optional[jax.Array] = None,
     visual_neg_embed: Optional[jax.Array] = None,
+    audio_tokens: Optional[jax.Array] = None,      # [T, hidden]
+    audio_valid: Optional[jax.Array] = None,       # [T] bool
 ) -> Dict[str, jax.Array]:
     """Batch size 1 (the reference demo asserts bs==1). Returns pred_logits,
     pred_masks, pred_captions, pred_maskembs, pred_pspatials, pred_pvisuals."""
@@ -191,6 +193,11 @@ def forward(
     # (seem.py:519-533).
     g_state = grounding_tokens[None] if grounding_tokens is not None else None
     g_pos = grounding_tokens[None] if grounding_tokens is not None else None
+    # audio tokens are transcript text embeddings routed through their own
+    # token group (seem_model.py:291-299, seem.py:489-493); like grounding
+    # they are set once and evolve through self-attention
+    a_state = audio_tokens[None] if audio_tokens is not None else None
+    a_pos = audio_tokens[None] if audio_tokens is not None else None
 
     groups: List[Tuple[str, int, Optional[jax.Array], Any]] = []
     if grounding_tokens is not None:
@@ -202,6 +209,8 @@ def forward(
     if visual_queries is not None:
         groups.append(("visual", visual_queries[0].shape[0], visual_valid,
                        lambda lvl: visual_queries[lvl]))
+    if audio_tokens is not None:
+        groups.append(("audio", audio_tokens.shape[0], audio_valid, None))
 
     blocked = _self_attn_mask(nq, [(g[0], g[1], g[2]) for g in groups])
 
@@ -242,6 +251,9 @@ def forward(
             if name == "grounding":
                 toks.append(g_state)
                 tok_pos.append(g_pos)
+            elif name == "audio":
+                toks.append(a_state)
+                tok_pos.append(a_pos)
             else:
                 t = get(lvl)[None]
                 toks.append(t)
@@ -259,6 +271,8 @@ def forward(
         output = cat[:, :nq]
         if g_state is not None:
             g_state = cat[:, nq:nq + g_state.shape[1]]
+        if a_state is not None:  # audio is the last group in the concat
+            a_state = cat[:, cat.shape[1] - a_state.shape[1]:]
 
         class_embed, masks, maskemb, attn_mask = prediction_heads(
             output, sizes[(li + 1) % nl])

@@ -114,6 +114,40 @@ def segment_text(params, cfg: SeemConfig, image: jax.Array, phrase_ids: jax.Arra
     return mask, logits
 
 
+def segment_audio(params, cfg: SeemConfig, image: jax.Array,
+                  transcript_ids: jax.Array, transcript_mask: jax.Array,
+                  class_embeddings: Optional[jax.Array] = None):
+    """Audio-referred segmentation (interactive.py:105-109,177-191): the
+    spoken query is transcribed on host (the reference uses Whisper, loaded
+    as `audio` in demo_code/app.py:74-77 — shipped disabled there too), and
+    the transcript routes through the language encoder into the decoder's
+    AUDIO token group (seem_model.py:291-299), matched against
+    pred_captions like the text path.
+
+    transcript_ids/mask: [1, 77] CLIP tokens of the transcription.
+    Returns (mask [H, W] logits, class_logits or None)."""
+    mask_features, multi_scale, _ = encode_image(params, cfg, image)
+    token_emb, class_emb = language.token_and_class_emb(
+        params["lang"], cfg.lang, transcript_ids, norm=False)
+    a_tokens = token_emb[0]
+    a_valid = transcript_mask[0].astype(bool)
+
+    out = dec.forward(
+        params["decoder"], cfg.decoder, multi_scale, mask_features,
+        class_embeddings=class_embeddings,
+        logit_scale=params["lang"]["logit_scale"],
+        audio_tokens=a_tokens, audio_valid=a_valid)
+
+    v_emb = out["pred_captions"][0]
+    t_emb = class_emb / (jnp.linalg.norm(class_emb, axis=-1, keepdims=True) + 1e-7)
+    v = v_emb / (jnp.linalg.norm(v_emb, axis=-1, keepdims=True) + 1e-7)
+    sim = language.vl_similarity(v, t_emb, params["lang"]["logit_scale"])
+    matched = jnp.argmax(sim[0])
+    mask = out["pred_masks"][0, matched]
+    logits = out["pred_logits"][0, matched] if out["pred_logits"] is not None else None
+    return mask, logits
+
+
 def segment_stroke(params, cfg: SeemConfig, image: jax.Array, points: jax.Array,
                    points_valid: jax.Array, class_embeddings=None):
     """Stroke/spatial segmentation (interactive.py:138-149).

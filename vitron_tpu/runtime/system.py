@@ -93,6 +93,25 @@ class VitronSystem:
                     jnp.asarray(pts), jnp.asarray(valid))
                 up = seem_model.upsample_mask(mask, req.image.shape[:2])
                 return {"mask": np.asarray(up)}
+            if req.extra.get("audio_transcript"):
+                # audio-referred segmentation (interactive.py:105-109):
+                # the host transcribes speech (the reference's Whisper hook,
+                # demo_code/app.py:74-77) and the transcript routes through
+                # the decoder's AUDIO token group
+                size = seem_cfg.input_size
+                import jax
+
+                img = jax.image.resize(jnp.asarray(req.image, jnp.float32),
+                                       (size, size, 3), method="linear")
+                ids = seem_lang.tokenize(tokenizer,
+                                         [req.extra["audio_transcript"]],
+                                         seem_cfg.lang.context_length)
+                mask_tok = (np.asarray(ids) != 0).astype(np.int64)
+                mask, _ = seem_model.segment_audio(
+                    seem_params, seem_cfg, img.astype(jnp.uint8),
+                    jnp.asarray(ids), jnp.asarray(mask_tok))
+                up = seem_model.upsample_mask(mask, req.image.shape[:2])
+                return {"mask": np.asarray(up)}
             phrase = (req.instructions or [req.text])[0]
             return {"mask": _text_mask(req.image, phrase)}
 
@@ -263,7 +282,7 @@ class VitronSystem:
              sketch_mask: Optional[np.ndarray] = None,
              region_box: Optional[list] = None,
              history=None, sampling: SamplingConfig = SamplingConfig(),
-             rng=None) -> Dict[str, Any]:
+             rng=None, extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         """One turn: preprocess media, run the MLLM, route any tool call
         (predict(), app.py:456-664)."""
         from vitron_tpu.media.preprocess import preprocess_image, preprocess_video
@@ -299,6 +318,6 @@ class VitronSystem:
                                  history=history, sampling=sampling, rng=rng)
         result = route_model_output(
             self.registry, reply["raw"], image=image, video=video,
-            sketch_mask=sketch_mask)
+            sketch_mask=sketch_mask, extra=extra)
         result["reply"] = reply
         return result
