@@ -93,3 +93,36 @@ def test_grad_matches_reference():
     want_grads = ref_vjp(g)
     for a, b in zip(got_grads, want_grads):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("s,t,n,kv,d", [
+    (48, 48, 4, 4, 16),     # square, non-block-multiple
+    (32, 64, 4, 2, 16),     # GQA + cached offset
+])
+def test_pallas_backward_parity(s, t, n, kv, d):
+    """The Pallas two-pass backward (dq/dk/dv from recomputed blockwise
+    probabilities + saved LSE) vs reference grads, incl. GQA head
+    reduction, kv masking, and padded block tails."""
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(2, s, n, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, t, kv, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, t, kv, d).astype(np.float32))
+    kv_mask = jnp.asarray(rs.rand(2, t) > 0.2)
+    kv_mask = kv_mask.at[:, :4].set(True)  # no fully-masked early rows
+    off = t - s
+
+    def loss_flash(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, kv_mask=kv_mask, q_offset=off,
+                            block_q=32, block_k=32, interpret=True)
+        return jnp.sum(o * jnp.cos(jnp.arange(d, dtype=jnp.float32)))
+
+    def loss_ref(q_, k_, v_):
+        o = reference_attention(q_, k_, v_, kv_mask=kv_mask, q_offset=off)
+        return jnp.sum(o * jnp.cos(jnp.arange(d, dtype=jnp.float32)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"d{name} mismatch")
