@@ -126,3 +126,63 @@ def test_pallas_backward_parity(s, t, n, kv, d):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    rtol=2e-3, atol=2e-3,
                                    err_msg=f"d{name} mismatch")
+
+
+@pytest.mark.parametrize("s,d", [
+    (96, 40),      # SD UNet head dim, block-padded N
+    (64, 32),      # exact block multiple
+])
+def test_noncausal_parity(s, d):
+    """causal=False (diffusion spatial self-attention): full attention,
+    forward + grads, incl. the maskless fast path and padded key tails."""
+    b, n = 2, 4
+    q = _rand((b, s, n, d), 10) * 0.3
+    k = _rand((b, s, n, d), 11) * 0.3
+    v = _rand((b, s, n, d), 12) * 0.3
+
+    def loss_flash(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, causal=False,
+                            block_q=32, block_k=32, interpret=True)
+        return jnp.sum(o * jnp.sin(jnp.arange(d, dtype=jnp.float32)))
+
+    def loss_ref(q_, k_, v_):
+        o = reference_attention(q_, k_, v_, causal=False)
+        return jnp.sum(o * jnp.sin(jnp.arange(d, dtype=jnp.float32)))
+
+    got = flash_attention(q, k, v, causal=False, block_q=32, block_k=32,
+                          interpret=True)
+    want = reference_attention(q, k, v, causal=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, r, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_static_shift_softmax():
+    """softmax_shift (static-shift softmax) matches the reference exactly
+    up to rounding, including with a kv mask and padded tails."""
+    b, s, n, d = 2, 96, 4, 40
+    q = _rand((b, s, n, d), 20) * 0.3
+    k = _rand((b, s, n, d), 21) * 0.3
+    v = _rand((b, s, n, d), 22) * 0.3
+    kv_mask = jnp.asarray(np.random.RandomState(23).rand(b, s) > 0.3)
+    kv_mask = kv_mask.at[:, 0].set(True)
+    for mask in (None, kv_mask):
+        want = reference_attention(q, k, v, kv_mask=mask, causal=False)
+        got = flash_attention(q, k, v, kv_mask=mask, causal=False,
+                              softmax_shift=0.0, block_q=32, block_k=32,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+    # grads still flow (backward uses the saved LSE; shift folds into it)
+    g = jax.grad(lambda q_: jnp.sum(flash_attention(
+        q_, k, v, causal=False, softmax_shift=0.0,
+        block_q=32, block_k=32, interpret=True) ** 2))(q)
+    gr = jax.grad(lambda q_: jnp.sum(reference_attention(
+        q_, k, v, causal=False) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=2e-3, atol=2e-3)

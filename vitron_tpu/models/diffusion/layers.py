@@ -86,13 +86,31 @@ def fourier_embed(x: jax.Array, num_freqs: int = 8, temperature: float = 100.0) 
 # ---------------------------------------------------------------- attention
 
 def _mha(q, k, v, heads: int, scale: float) -> jax.Array:
-    """q: [B, N, H*C]; k/v: [B, M, H*C] -> [B, N, H*C], fp32 softmax."""
+    """q: [B, N, H*C]; k/v: [B, M, H*C] -> [B, N, H*C], fp32 softmax.
+
+    Large self-attention (the UNets' spatial attention at 64x64 latents =
+    4096 tokens) routes to the Pallas flash kernel (non-causal): the XLA
+    einsum path materializes fp32 [B,H,N,M] (537 MB at 4096^2) and was
+    ~60% of the measured SD UNet step time."""
     b, n, hc = q.shape
     m = k.shape[1]
     c = hc // heads
     q = q.reshape(b, n, heads, c)
     k = k.reshape(b, m, heads, c)
     v = v.reshape(b, m, heads, c)
+    if n >= 1024 and m >= 1024 and jax.default_backend() == "tpu":
+        from vitron_tpu.kernels.flash_attention import flash_attention
+
+        # bf16 operands: the kernel is VPU-bound on the fp32 online softmax
+        # at these head dims (40-160), so halving the MXU/HBM side is free
+        # accuracy-wise (softmax stays fp32 in-kernel). softmax_shift=0:
+        # post-LayerNorm q/k keep logits far inside the static-shift
+        # softmax's safe range, and skipping the online-max machinery is
+        # ~1.9x on the kernel
+        out = flash_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                              v.astype(jnp.bfloat16), scale=float(scale),
+                              causal=False, softmax_shift=0.0)
+        return out.astype(v.dtype).reshape(b, n, hc)
     sim = jnp.einsum("bnhc,bmhc->bhnm", q, k).astype(jnp.float32) * scale
     attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhnm,bmhc->bnhc", attn, v)

@@ -214,7 +214,10 @@ def _res_block(p, x, emb):
     h = group_norm(x, p["norm1_s"], p["norm1_b"])
     h = conv2d(jax.nn.silu(h), p["conv1_w"], p["conv1_b"], padding=1)
     emb_out = jax.nn.silu(emb) @ p["emb_w"] + p["emb_b"]
-    h = h + emb_out[:, None, None, :]
+    # cast: the time embedding runs f32; without this the f32 promotes every
+    # downstream conv/norm to f32 (measured 2x conv slowdown + per-step
+    # weight-conversion fusions on TPU)
+    h = h + emb_out.astype(h.dtype)[:, None, None, :]
     h = group_norm(h, p["norm2_s"], p["norm2_b"])
     h = conv2d(jax.nn.silu(h), p["conv2_w"], p["conv2_b"], padding=1)
     skip = x

@@ -255,7 +255,8 @@ def _res_block(p, x, emb, eps: float = 1e-5):
     h = group_norm(xf, p["norm1_s"], p["norm1_b"], eps=eps)
     h = conv2d(jax.nn.silu(h), p["conv1_w"], p["conv1_b"], padding=1)
     emb_out = jax.nn.silu(emb) @ p["emb_w"] + p["emb_b"]
-    h = h + emb_out[:, None, None, :]
+    # cast: keeps the f32 time embedding from promoting downstream convs
+    h = h + emb_out.astype(h.dtype)[:, None, None, :]
     h = group_norm(h, p["norm2_s"], p["norm2_b"], eps=eps)
     h = conv2d(jax.nn.silu(h), p["conv2_w"], p["conv2_b"], padding=1)
     skip = xf
