@@ -234,24 +234,32 @@ def bench_sd_unet() -> dict:
     jax.block_until_ready(params)
     x = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)  # cond + uncond batched
     ctx = jnp.zeros((2, 77, cfg.context_dim), jnp.bfloat16)
-    n_steps = 10
+    def make(n_steps):
+        @jax.jit
+        def steps(params, x, ctx):
+            def body(x, t):
+                eps = unet2d.forward(params, cfg, x, jnp.full((2,), t), ctx)
+                return x - 0.01 * eps.astype(x.dtype), None
 
-    @jax.jit
-    def steps(params, x, ctx):
-        def body(x, t):
-            eps = unet2d.forward(params, cfg, x, jnp.full((2,), t), ctx)
-            return x - 0.01 * eps.astype(x.dtype), None
+            x, _ = jax.lax.scan(body, x,
+                                jnp.arange(n_steps, dtype=jnp.float32))
+            return x
+        return steps
 
-        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32))
-        return x
-
-    np.asarray(steps(params, x, ctx))  # compile
-    best = float("inf")
+    # differential timing: ~33 ms per-call tunnel overhead cancels in the
+    # (long - short) difference; min per arm, THEN subtract (PERF.md)
+    f_lo, f_hi = make(5), make(25)
+    np.asarray(f_lo(params, x, ctx))
+    np.asarray(f_hi(params, x, ctx))
+    lo = hi = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(steps(params, x, ctx))
-        best = min(best, time.perf_counter() - t0)
-    return {"sd_unet_cfg_steps_per_s": round(n_steps / best, 2)}
+        np.asarray(f_lo(params, x, ctx))
+        lo = min(lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f_hi(params, x, ctx))
+        hi = min(hi, time.perf_counter() - t0)
+    return {"sd_unet_cfg_steps_per_s": round(20 / (hi - lo), 2)}
 
 
 def main():

@@ -50,14 +50,17 @@ def _resnet(p, x):
 
 
 def _attn(p, x):
+    from vitron_tpu.models.diffusion.layers import _mha
+
     b, h, w, c = x.shape
     hn = group_norm(x, p["norm_s"], p["norm_b"])
     q = conv2d(hn, p["q_w"], p["q_b"]).reshape(b, h * w, c)
     k = conv2d(hn, p["k_w"], p["k_b"]).reshape(b, h * w, c)
     v = conv2d(hn, p["v_w"], p["v_b"]).reshape(b, h * w, c)
-    sim = jnp.einsum("bnc,bmc->bnm", q, k).astype(jnp.float32) * (c ** -0.5)
-    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-    o = jnp.einsum("bnm,bmc->bnc", attn, v).reshape(b, h, w, c)
+    # single-head over h*w tokens; _mha routes >=1024 tokens to the Pallas
+    # flash kernel (the einsum path materializes fp32 [b, 4096, 4096] at
+    # 512^2 decode)
+    o = _mha(q, k, v, heads=1, scale=c ** -0.5).reshape(b, h, w, c)
     return x + conv2d(o, p["proj_w"], p["proj_b"])
 
 
