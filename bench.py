@@ -133,7 +133,7 @@ def bench_e2e_request(quant: str = "int4") -> dict:
     from vitron_tpu.runtime.generation import generate_scan
 
     llm_cfg = llama.LlamaConfig(max_seq_len=512, **PRESETS["7b"])
-    cfg = vitron_model.VitronConfig(llm=llm_cfg)
+    cfg = vitron_model.VitronConfig.serving(llm=llm_cfg)
 
     def init(key):
         p = vitron_model.init_params(key, cfg)

@@ -202,3 +202,26 @@ def test_folded_normalization_equals_preprocessing():
     got = forward_features(folded, cfg, raw.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_vit_bf16_close_to_f32():
+    """The serving config runs towers in bf16 (VitronConfig.serving); the
+    features must stay close to the f32 reference path."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.models.vision import vit
+
+    cfg32 = vit.ViTConfig.tiny()
+    p32 = vit.init_params(jax.random.PRNGKey(0), cfg32)
+    cfg16 = vit.ViTConfig.tiny(param_dtype=jnp.bfloat16,
+                               compute_dtype=jnp.bfloat16)
+    p16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p32)
+    pix = jax.random.uniform(jax.random.PRNGKey(1),
+                             (2, cfg32.image_size, cfg32.image_size, 3))
+    f32 = vit.forward_features(p32, cfg32, pix)
+    f16 = vit.forward_features(p16, cfg16, pix).astype(jnp.float32)
+    assert f16.dtype == jnp.float32 and f16.shape == f32.shape
+    denom = float(jnp.max(jnp.abs(f32))) + 1e-6
+    rel = float(jnp.max(jnp.abs(f16 - f32))) / denom
+    assert rel < 0.05, rel

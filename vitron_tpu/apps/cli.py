@@ -77,7 +77,7 @@ def _build_real_system(args):
 
     tokenizer = transformers.AutoTokenizer.from_pretrained(args.base_model)
     llm_cfg = llama.LlamaConfig.vicuna_7b()
-    cfg = vitron_model.VitronConfig(llm=llm_cfg)
+    cfg = vitron_model.VitronConfig.serving(llm=llm_cfg)
     params = vitron_model.init_params(jax.random.PRNGKey(0), cfg)
     params["llm"] = jax.tree.map(
         __import__("jax").numpy.asarray,

@@ -55,6 +55,21 @@ class VitronConfig:
         base.update(kw)
         return VitronConfig(**base)
 
+    @staticmethod
+    def serving(**kw) -> "VitronConfig":
+        """Inference config: bf16 tower weights + compute, matching the
+        reference's fp16 tower serving (builder.py loads towers in
+        torch.float16). Parity tests pin f32; bf16 encode runs the MXU at
+        2x the f32 rate."""
+        base = dict(
+            image_tower=vit.ViTConfig.clip_vit_l14(
+                param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16),
+            video_tower=vit.ViTConfig.video_vit_l14(
+                param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16),
+        )
+        base.update(kw)
+        return VitronConfig(**base)
+
 
 def init_params(rng: jax.Array, cfg: VitronConfig) -> Dict[str, Any]:
     ks = jax.random.split(rng, 5)
