@@ -97,6 +97,11 @@ class GligenPipeline:
         self.vae_params = vae_params
         self.text_params = text_params
         self.tokenizer = tokenizer
+        # jitted end-to-end samplers keyed by the static knobs: on the
+        # tunnel-attached TPU every eager dispatch costs ~33 ms, so an
+        # un-jitted 50-step generate (~3000 ops) took 146 s vs ~1.5 s for
+        # the same math compiled as ONE program
+        self._run_cache: Dict[Any, Any] = {}
 
     # ---------------------------------------------------------- text utils
 
@@ -159,52 +164,92 @@ class GligenPipeline:
     ) -> jax.Array:
         """-> [H, W, 3] uint8 image. Mirrors grounded_generation_box
         (task_grounded_generation.py:185-294); defaults match the Vitron
-        glue (alpha_type and guidance, app.py:100-106,189)."""
+        glue (alpha_type and guidance, app.py:100-106,189).
+
+        Host side: tokenization + box packing only. Everything from the
+        text encoder through PLMS and the VAE decode runs as ONE jitted
+        program, cached per (steps, guidance, alpha_type, inpaint)."""
         cfg = self.cfg
         steps = steps or cfg.steps
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         is_inpaint = inpaint_image is not None
 
-        context = self.encode_prompt(self.tokenize([prompt]))
+        ids_ctx = self.tokenize([prompt])
         # inpainting uses context as uc (task_grounded_generation.py:258-261)
         uc_text = prompt if is_inpaint else negative_prompt
-        uc = self.encode_prompt(self.tokenize([uc_text]))
-        pooled = self.pooled_text_features(self.tokenize(list(phrases))) if phrases else \
-            jnp.zeros((0, cfg.text.hidden_size))
-        b_, m_, t_ = pack_grounding(boxes, np.asarray(pooled), cfg.max_objs,
-                                    cfg.text.hidden_size)
+        ids_uc = self.tokenize([uc_text])
+        # phrase ids padded to the max_objs slots (invalid rows masked on
+        # device; a lone BOS row keeps argmax-eos well-defined)
+        phrase_ids = np.zeros((cfg.max_objs, cfg.text.max_length), np.int64)
+        phrase_ids[:, 0] = 1
+        n = min(len(phrases), cfg.max_objs)
+        if n:
+            phrase_ids[:n] = np.asarray(self.tokenize(list(phrases)[:n]))
+        b_, m_, _ = pack_grounding(boxes, np.zeros((n, cfg.text.hidden_size)),
+                                   cfg.max_objs, cfg.text.hidden_size)
         gb = jnp.asarray(b_)[None]
         gm = jnp.asarray(m_)[None]
-        gt = jnp.asarray(t_)[None]
 
-        sched = samplers.DiffusionSchedule.create("linear", 1000, 0.00085, 0.012)
-        gates = samplers.alpha_generator(steps, tuple(alpha_type))
-
-        params = self.unet_params
-        extra = None
-        mask_blend = None
         if is_inpaint:
-            params = self.inpaint_unet_params if self.inpaint_unet_params is not None else params
-            img = (inpaint_image.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-            mean, _ = vae.encode(self.vae_params, cfg.vae, img[None])
-            x0 = mean * SD_SCALE_FACTOR
+            img = jnp.asarray(inpaint_image, jnp.float32)
             keep = inpaint_keep_mask if inpaint_keep_mask is not None else \
                 keep_mask_from_boxes(boxes, cfg.latent_size)
-            keep = jnp.asarray(keep)[None, :, :, None]
-            masked_x0 = x0 * keep
-            extra = jnp.concatenate([masked_x0, keep], axis=-1)[0]
-            mask_blend = (keep, x0)
+            keep = jnp.asarray(keep, jnp.float32)
+        else:
+            img = jnp.zeros((8, 8, 3), jnp.float32)     # unused placeholder
+            keep = jnp.zeros((cfg.latent_size, cfg.latent_size), jnp.float32)
+        run = self._get_run(steps, float(guidance_scale), tuple(alpha_type),
+                            is_inpaint)
+        params = self.unet_params
+        if is_inpaint and self.inpaint_unet_params is not None:
+            params = self.inpaint_unet_params
+        return run(params, self.vae_params, self.text_params,
+                   jnp.asarray(ids_ctx), jnp.asarray(ids_uc),
+                   jnp.asarray(phrase_ids), gb, gm, img, keep, rng)
 
-        eps = self._eps_fn(params, context, uc, gb, gm, gt, guidance_scale,
-                           extra_channels=extra)
-        rng, k = jax.random.split(rng)
-        x = jax.random.normal(k, (1, cfg.latent_size, cfg.latent_size,
-                                  cfg.unet.out_channels), jnp.float32)
-        x = samplers.plms_sample(eps, x, sched, steps, rng=rng,
-                                 gate_alphas=gates, mask_blend=mask_blend)
-        img = vae.decode(self.vae_params, cfg.vae, x / SD_SCALE_FACTOR)[0]
-        img = jnp.clip(img, -1, 1) * 0.5 + 0.5
-        return (img * 255).astype(jnp.uint8)
+    def _get_run(self, steps: int, guidance_scale: float,
+                 alpha_type: Tuple[float, ...], is_inpaint: bool):
+        key = (steps, guidance_scale, alpha_type, is_inpaint)
+        fn = self._run_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        sched = samplers.DiffusionSchedule.create("linear", 1000, 0.00085, 0.012)
+        gates = samplers.alpha_generator(steps, alpha_type)
+
+        def run(params, vae_params, text_params, ids_ctx, ids_uc, phrase_ids,
+                gb, gm, inpaint_img, keep_mask, rng):
+            context = clip_text.encode(text_params, cfg.text, ids_ctx)
+            uc = clip_text.encode(text_params, cfg.text, ids_uc)
+            hidden = clip_text.encode(text_params, cfg.text, phrase_ids)
+            eos = jnp.argmax(phrase_ids, axis=-1)
+            pooled = jnp.take_along_axis(hidden, eos[:, None, None], axis=1)[:, 0]
+            gt = (pooled * gm[0][:, None]).astype(jnp.float32)[None]
+
+            extra = None
+            mask_blend = None
+            if is_inpaint:
+                img = (inpaint_img / 255.0 - 0.5) / 0.5
+                mean, _ = vae.encode(vae_params, cfg.vae, img[None])
+                x0 = mean * SD_SCALE_FACTOR
+                keep = keep_mask[None, :, :, None]
+                extra = jnp.concatenate([x0 * keep, keep], axis=-1)[0]
+                mask_blend = (keep, x0)
+
+            eps = self._eps_fn(params, context, uc, gb, gm, gt,
+                               guidance_scale, extra_channels=extra)
+            rng2, k = jax.random.split(rng)
+            x = jax.random.normal(k, (1, cfg.latent_size, cfg.latent_size,
+                                      cfg.unet.out_channels), jnp.float32)
+            x = samplers.plms_sample(eps, x, sched, steps, rng=rng2,
+                                     gate_alphas=gates, mask_blend=mask_blend)
+            img = vae.decode(vae_params, cfg.vae, x / SD_SCALE_FACTOR)[0]
+            img = jnp.clip(img, -1, 1) * 0.5 + 0.5
+            return (img * 255).astype(jnp.uint8)
+
+        fn = jax.jit(run)
+        self._run_cache[key] = fn
+        return fn
 
 
 def reproject_image_feature(feature: jax.Array,
