@@ -241,59 +241,100 @@ class StableVideoEditor:
         [H, W, 3] float in [0, 1]. `from_noise=True` samples the full DDIM
         chain from pure noise instead (the first keyframe of
         advanced_edit_foreground, app.py:203-209)."""
-        from vitron_tpu.models.diffusion import controlnet, samplers, vae
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        t_enc = (steps - 1) if from_noise else min(int(strength * steps),
+                                                   steps - 1)
+        use_image = init_latent is None
+        if use_image:
+            ds = 2 ** (len(self.vae_cfg.channel_mult) - 1)
+            lh, lw = image.shape[0] // ds, image.shape[1] // ds
+            init_latent = jnp.zeros((1, lh, lw, 4), jnp.float32)
+            image = jnp.asarray(image)
+        else:
+            lh, lw = init_latent.shape[1:3]
+            image = jnp.zeros((8, 8, 3), jnp.uint8)     # unused placeholder
+        tok = self.tokenizer([prompt, negative_prompt], padding="max_length",
+                             max_length=self.text_cfg.max_length,
+                             truncation=True, return_tensors="np")
+        cp = (self.depth_control_params
+              if control == "depth" and self.depth_control_params is not None
+              else self.control_params)
+        run = self._get_edit_run(steps, t_enc, float(guidance_scale),
+                                 from_noise, use_image, (lh, lw))
+        return run(self.unet_params, cp, self.vae_params, self.text_params,
+                   jnp.asarray(tok["input_ids"]), image, jnp.asarray(hint),
+                   jnp.asarray(init_latent), rng)
+
+    def _get_edit_run(self, steps: int, t_enc: int, guidance_scale: float,
+                      from_noise: bool, use_image: bool,
+                      latent_hw: Tuple[int, int]):
+        """One jitted program per static edit configuration: on the
+        tunnel-attached TPU each eager op costs ~33 ms of dispatch, so the
+        original eager DDIM python loop took minutes per edit."""
+        from vitron_tpu.models.diffusion import clip_text, controlnet, samplers, vae
         from vitron_tpu.models.diffusion.vae import SD_SCALE_FACTOR
 
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if not hasattr(self, "_edit_cache"):
+            self._edit_cache = {}
+        key = (steps, t_enc, guidance_scale, from_noise, use_image, latent_hw)
+        fn = self._edit_cache.get(key)
+        if fn is not None:
+            return fn
         cfg = self.unet_cfg
-        context = self._encode_prompt([prompt])
-        uc = self._encode_prompt([negative_prompt])
-        ctx2 = jnp.concatenate([context, uc], axis=0)
-
-        if init_latent is None:
-            img = (image.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-            mean, _ = vae.encode(self.vae_params, self.vae_cfg, img[None])
-            init_latent = mean * SD_SCALE_FACTOR
-        # the hint encoder downsamples 8x; align it to the latent grid
-        lh, lw = init_latent.shape[1:3]
-        if hint.shape[:2] != (lh * 8, lw * 8):
-            hint = jax.image.resize(hint, (lh * 8, lw * 8, 3), method="linear")
-        hint2 = jnp.concatenate([hint[None], hint[None]], axis=0)
-
+        lh, lw = latent_hw
         sched = samplers.DiffusionSchedule.create("linear", 1000, 0.00085, 0.012)
         ts, alphas, alphas_prev, _ = samplers.make_ddim_arrays(sched, steps, 0.0)
-        rng, k = jax.random.split(rng)
-        if from_noise:
-            t_enc = steps - 1
-            x = jax.random.normal(k, init_latent.shape, init_latent.dtype)
-        else:
-            t_enc = min(int(strength * steps), steps - 1)
-            # stochastic encode at step t_enc (ldm ddim stochastic_encode)
-            a_enc = alphas[t_enc]
-            noise = jax.random.normal(k, init_latent.shape, init_latent.dtype)
-            x = jnp.sqrt(a_enc) * init_latent + jnp.sqrt(1 - a_enc) * noise
+        idx = np.arange(t_enc, -1, -1)
+        scan_ts = jnp.asarray(ts[idx], jnp.int32)
+        scan_a = jnp.asarray(alphas[idx])
+        scan_ap = jnp.asarray(alphas_prev[idx])
 
-        def eps(x, t, gate):
-            xx = jnp.concatenate([x, x], axis=0)
-            tt = jnp.broadcast_to(jnp.asarray(t), (2,))
-            cp = (self.depth_control_params
-                  if control == "depth" and self.depth_control_params is not None
-                  else self.control_params)
-            ctrl = controlnet.control_residuals(cp, cfg, xx, hint2, tt, ctx2)
-            out = controlnet.controlled_forward(
-                self.unet_params, cfg, xx, tt, ctx2, ctrl)
-            e_c, e_uc = jnp.split(out, 2, axis=0)
-            return e_uc + guidance_scale * (e_c - e_uc)
+        def run(unet_params, ctrl_params, vae_params, text_params, ids2,
+                image, hint, init_latent, rng):
+            ctx2 = clip_text.encode(text_params, self.text_cfg, ids2)
+            if use_image:
+                img = (image.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+                mean, _ = vae.encode(vae_params, self.vae_cfg, img[None])
+                init = mean * SD_SCALE_FACTOR
+            else:
+                init = init_latent
+            # the hint encoder downsamples 8x; align it to the latent grid
+            if hint.shape[:2] != (lh * 8, lw * 8):
+                hint = jax.image.resize(hint, (lh * 8, lw * 8, 3),
+                                        method="linear")
+            hint2 = jnp.concatenate([hint[None], hint[None]], axis=0)
 
-        # DDIM decode from step t_enc down to 0
-        for i in range(t_enc, -1, -1):
-            e = eps(x, jnp.asarray(ts[i], jnp.int32), 1.0)
-            x, _ = samplers._x_prev(x, e, alphas[i], alphas_prev[i],
-                                    jnp.zeros((), x.dtype), jnp.zeros((), x.dtype))
+            rng2, k = jax.random.split(rng)
+            if from_noise:
+                x = jax.random.normal(k, init.shape, init.dtype)
+            else:
+                # stochastic encode at step t_enc (ldm ddim stochastic_encode)
+                a_enc = scan_a[0]
+                noise = jax.random.normal(k, init.shape, init.dtype)
+                x = jnp.sqrt(a_enc) * init + jnp.sqrt(1 - a_enc) * noise
 
-        out = vae.decode(self.vae_params, self.vae_cfg, x / SD_SCALE_FACTOR)[0]
-        out = jnp.clip(out, -1, 1) * 0.5 + 0.5
-        return (out * 255).astype(jnp.uint8)
+            def step(x, inp):
+                t, a, ap = inp
+                xx = jnp.concatenate([x, x], axis=0)
+                tt = jnp.broadcast_to(t, (2,))
+                ctrl = controlnet.control_residuals(ctrl_params, cfg, xx,
+                                                    hint2, tt, ctx2)
+                out = controlnet.controlled_forward(unet_params, cfg, xx, tt,
+                                                    ctx2, ctrl)
+                e_c, e_uc = jnp.split(out, 2, axis=0)
+                e = e_uc + guidance_scale * (e_c - e_uc)
+                x, _ = samplers._x_prev(x, e, a, ap, jnp.zeros((), x.dtype),
+                                        jnp.zeros((), x.dtype))
+                return x, None
+
+            x, _ = jax.lax.scan(step, x, (scan_ts, scan_a, scan_ap))
+            out = vae.decode(vae_params, self.vae_cfg, x / SD_SCALE_FACTOR)[0]
+            out = jnp.clip(out, -1, 1) * 0.5 + 0.5
+            return (out * 255).astype(jnp.uint8)
+
+        fn = jax.jit(run)
+        self._edit_cache[key] = fn
+        return fn
 
 
 # ------------------------------------------------------ foreground editing

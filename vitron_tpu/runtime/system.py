@@ -51,23 +51,56 @@ class VitronSystem:
     def register_seem(self, seem_params, seem_cfg, tokenizer):
         """B image_segmentation, E video_tracking, and the mask half of
         C image_editing (app.py:114-155,158-212,243-273)."""
+        import jax
         import jax.numpy as jnp
 
         from vitron_tpu.models.seem import decoder as seem_dec
         from vitron_tpu.models.seem import language as seem_lang
         from vitron_tpu.models.seem import model as seem_model
 
-        def _text_mask(image: np.ndarray, phrase: str) -> np.ndarray:
-            size = seem_cfg.input_size
-            import jax
+        # jitted per-task programs (params as traced args, cfg static): the
+        # bare model functions run EAGERLY otherwise, and on the
+        # tunnel-attached TPU every eager op costs ~33 ms of dispatch —
+        # a single un-jitted segment_text took seconds instead of ~84 ms
+        size = seem_cfg.input_size
 
-            img = jax.image.resize(jnp.asarray(image, jnp.float32),
+        @jax.jit
+        def _jit_text(params, image, ids, mask_tok):
+            img = jax.image.resize(image.astype(jnp.float32),
                                    (size, size, 3), method="linear")
+            return seem_model.segment_text(params, seem_cfg,
+                                           img.astype(jnp.uint8), ids,
+                                           mask_tok)[0]
+
+        @jax.jit
+        def _jit_stroke(params, image, pts, valid):
+            img = jax.image.resize(image.astype(jnp.float32),
+                                   (size, size, 3), method="linear")
+            return seem_model.segment_stroke(params, seem_cfg,
+                                             img.astype(jnp.uint8), pts,
+                                             valid)[0]
+
+        @jax.jit
+        def _jit_audio(params, image, ids, mask_tok):
+            img = jax.image.resize(image.astype(jnp.float32),
+                                   (size, size, 3), method="linear")
+            return seem_model.segment_audio(params, seem_cfg,
+                                            img.astype(jnp.uint8), ids,
+                                            mask_tok)[0]
+
+        @jax.jit
+        def _jit_track(params, frames, pts, valid):
+            fr = jax.image.resize(frames.astype(jnp.float32),
+                                  (frames.shape[0], size, size, 3),
+                                  method="linear").astype(jnp.uint8)
+            return seem_model.track_video(params, seem_cfg, fr, fr[0],
+                                          pts, valid)
+
+        def _text_mask(image: np.ndarray, phrase: str) -> np.ndarray:
             ids = seem_lang.tokenize(tokenizer, [phrase], seem_cfg.lang.context_length)
             mask_tok = (np.asarray(ids) != 0).astype(np.int64)
-            mask, _ = seem_model.segment_text(
-                seem_params, seem_cfg, img.astype(jnp.uint8),
-                jnp.asarray(ids), jnp.asarray(mask_tok))
+            mask = _jit_text(seem_params, jnp.asarray(image, jnp.float32),
+                             jnp.asarray(ids), jnp.asarray(mask_tok))
             up = seem_model.upsample_mask(mask, image.shape[:2])
             return np.asarray(up)
 
@@ -78,19 +111,14 @@ class VitronSystem:
             if req.image is None:
                 return {"status": "error", "error": "image_segmentation needs an image"}
             if req.sketch_mask is not None:
-                size = seem_cfg.input_size
-                import jax
-
-                img = jax.image.resize(jnp.asarray(req.image, jnp.float32),
-                                       (size, size, 3), method="linear")
                 stroke = np.asarray(
                     jax.image.resize(jnp.asarray(req.sketch_mask, jnp.float32),
                                      (size, size), method="linear")) > 0.5
                 pts, valid = seem_dec.sample_stroke_points(
                     stroke, seem_cfg.decoder.max_spatial_len, np.random.RandomState(0))
-                mask, _ = seem_model.segment_stroke(
-                    seem_params, seem_cfg, img.astype(jnp.uint8),
-                    jnp.asarray(pts), jnp.asarray(valid))
+                mask = _jit_stroke(seem_params,
+                                   jnp.asarray(req.image, jnp.float32),
+                                   jnp.asarray(pts), jnp.asarray(valid))
                 up = seem_model.upsample_mask(mask, req.image.shape[:2])
                 return {"mask": np.asarray(up)}
             if req.extra.get("audio_transcript"):
@@ -98,18 +126,13 @@ class VitronSystem:
                 # the host transcribes speech (the reference's Whisper hook,
                 # demo_code/app.py:74-77) and the transcript routes through
                 # the decoder's AUDIO token group
-                size = seem_cfg.input_size
-                import jax
-
-                img = jax.image.resize(jnp.asarray(req.image, jnp.float32),
-                                       (size, size, 3), method="linear")
                 ids = seem_lang.tokenize(tokenizer,
                                          [req.extra["audio_transcript"]],
                                          seem_cfg.lang.context_length)
                 mask_tok = (np.asarray(ids) != 0).astype(np.int64)
-                mask, _ = seem_model.segment_audio(
-                    seem_params, seem_cfg, img.astype(jnp.uint8),
-                    jnp.asarray(ids), jnp.asarray(mask_tok))
+                mask = _jit_audio(seem_params,
+                                  jnp.asarray(req.image, jnp.float32),
+                                  jnp.asarray(ids), jnp.asarray(mask_tok))
                 up = seem_model.upsample_mask(mask, req.image.shape[:2])
                 return {"mask": np.asarray(up)}
             phrase = (req.instructions or [req.text])[0]
@@ -119,21 +142,15 @@ class VitronSystem:
             if req.video is None or req.sketch_mask is None:
                 return {"status": "error",
                         "error": "video_tracking needs a video and a stroke"}
-            import jax
-
-            size = seem_cfg.input_size
-            frames = jnp.asarray([
-                np.asarray(jax.image.resize(jnp.asarray(f, jnp.float32),
-                                            (size, size, 3), method="linear"))
-                for f in req.video], jnp.uint8)
-            ref = frames[0]
+            frames = jnp.asarray(np.stack([np.asarray(f) for f in req.video]),
+                                 jnp.float32)
             stroke = np.asarray(
                 jax.image.resize(jnp.asarray(req.sketch_mask, jnp.float32),
                                  (size, size), method="linear")) > 0.5
             pts, valid = seem_dec.sample_stroke_points(
                 stroke, seem_cfg.decoder.max_spatial_len, np.random.RandomState(0))
-            masks = seem_model.track_video(
-                seem_params, seem_cfg, frames, ref, jnp.asarray(pts), jnp.asarray(valid))
+            masks = _jit_track(seem_params, frames, jnp.asarray(pts),
+                               jnp.asarray(valid))
             return {"masks": np.asarray(masks)}
 
         self.registry.register("B", handle_b)
