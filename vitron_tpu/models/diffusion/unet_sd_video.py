@@ -46,12 +46,10 @@ from vitron_tpu.models.diffusion.layers import (
     conv_w,
     convert_ff,
     convert_ln,
-    cross_attention,
     geglu_ff,
     group_norm,
     layer_norm,
     lin_w,
-    self_attention,
     timestep_embedding,
 )
 from vitron_tpu.models.diffusion.video_unet import temporal_conv_block
@@ -207,28 +205,44 @@ def adaptive_avg_pool2d(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     return pool_axis(pool_axis(x, 1, out_hw[0]), 2, out_hw[1])
 
 
+def _temporal_mha(p: Dict[str, Any], x: jax.Array, context: jax.Array,
+                  heads: int) -> jax.Array:
+    """CrossAttention math on [B, F, N, C] attending over the FRAME axis
+    per pixel — einsum batch dims (b, n, h) replace the explicit
+    [BHW, F, C] transpose (the transposes pushed XLA's global layout
+    assignment into batch-minor layouts; see docs/PERF.md video notes)."""
+    b, f, n, hc = x.shape
+    d = p["to_q"].shape[1] // heads
+    scale = d ** -0.5
+    q = (x @ p["to_q"]).reshape(b, f, n, heads, d)
+    k = (context @ p["to_k"]).reshape(b, -1, n, heads, d)
+    v = (context @ p["to_v"]).reshape(b, -1, n, heads, d)
+    sim = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k).astype(jnp.float32) * scale
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bnhfg,bgnhd->bfnhd", attn, v).reshape(b, f, n, hc)
+    return out @ p["out_w"] + p["out_b"]
+
+
 def temporal_transformer(p: Dict[str, Any], x: jax.Array, heads: int) -> jax.Array:
     """TemporalTransformer (util.py:992-1089, use_linear=False,
     only_self_att=True): GN -> conv1d proj (= per-frame linear) -> self-attn
     transformer blocks over the frame axis per pixel -> conv1d proj out ->
-    residual. x: [B, F, H, W, C]."""
+    residual. x: [B, F, H, W, C]; computed in [B, F, H*W, C] (plain
+    reshape, no transpose) with frame-axis attention via einsum."""
     b, f, h, w, c = x.shape
     x_in = x
     xn = group_norm(x, p["norm_s"], p["norm_b"])  # stats over (F, H, W, C/g)
-    # (b h w) tokens of f frames
-    xn = xn.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
-    y = xn @ p["proj_in_w"] + p["proj_in_b"]
+    y = xn.reshape(b, f, h * w, c) @ p["proj_in_w"] + p["proj_in_b"]
     for blk in p["blocks"]:
         # BasicTransformerBlock with context_dim=None: attn2 degenerates to
         # self-attention (util.py:1009,536-540)
         yn = layer_norm(y, blk["norm1"])
-        y = self_attention(blk["attn1"], yn, heads) + y
+        y = _temporal_mha(blk["attn1"], yn, yn, heads) + y
         yn = layer_norm(y, blk["norm2"])
-        y = cross_attention(blk["attn2"], yn, yn, heads) + y
+        y = _temporal_mha(blk["attn2"], yn, yn, heads) + y
         y = geglu_ff(blk["ff"], layer_norm(y, blk["norm3"])) + y
     y = y @ p["proj_out_w"] + p["proj_out_b"]
-    y = y.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
-    return y + x_in
+    return y.reshape(b, f, h, w, c) + x_in
 
 
 def spatial_transformer_linear(p: Dict[str, Any], x: jax.Array, context,

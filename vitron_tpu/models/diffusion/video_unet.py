@@ -70,14 +70,19 @@ def temporal_conv_block(p, x):
     identity = x
 
     def tconv(x, w_, b_):
-        # [B, T, H, W, C] -> [(B H W), T, 1, C]-ish: use conv1d over T via
-        # conv_general_dilated with feature dims folded
-        y = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, 1, x.shape[-1])
+        # conv over T per pixel WITHOUT transposing F into the minor dims:
+        # [B, T, H*W, C] is a plain reshape of [B, T, H, W, C] and a k=(3,1)
+        # SAME conv over (T, HW) is exactly the per-pixel temporal conv.
+        # The old [(B H W), T, 1, C] form forced a full transpose per call
+        # (8 of them per res block incl. the inverse) — those transposes
+        # pushed XLA's global layout assignment into batch-minor layouts
+        # that slowed every neighboring op (see docs/PERF.md video notes).
+        y = x.reshape(b, t, h * w, x.shape[-1])
         y = jax.lax.conv_general_dilated(
             y, w_.astype(y.dtype), (1, 1), [(1, 1), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = y + b_.astype(y.dtype)
-        return y.reshape(b, h, w, t, -1).transpose(0, 3, 1, 2, 4)
+        return y.reshape(b, t, h, w, -1)
 
     def gn(x, s, bias):
         # torch GroupNorm on [b, c, t, h, w]: stats per group over (t, h, w);
