@@ -277,24 +277,32 @@ def forward(
         return x, None
 
     def cached_layer(carry, inputs):
-        x = carry
-        lp, layer_k, layer_v = inputs
+        # the FULL stacked cache rides in the carry and is written with a
+        # single-slot dynamic_update_slice per layer: XLA aliases scan
+        # carries, so the cache updates in place. (The previous version
+        # returned each layer's full [T]-slot k/v as stacked scan OUTPUTS,
+        # which materialized a fresh whole cache every decode step —
+        # 2 x 214 MB of writes per token at 7B/384 slots.)
+        x, kc, vc = carry
+        lp, li = inputs
         xn = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         q = _mm(xn, lp["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = _mm(xn, lp["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         v = _mm(xn, lp["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        layer_k = jax.lax.dynamic_update_slice(
-            layer_k, k.astype(layer_k.dtype), (0, cache.index, 0, 0))
-        layer_v = jax.lax.dynamic_update_slice(
-            layer_v, v.astype(layer_v.dtype), (0, cache.index, 0, 0))
+        kc = jax.lax.dynamic_update_slice(
+            kc, k.astype(kc.dtype)[None], (li, 0, cache.index, 0, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v.astype(vc.dtype)[None], (li, 0, cache.index, 0, 0))
+        layer_k = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
+        layer_v = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
         attn_out = _attend(q, layer_k, layer_v, mask, scale, cfg.attn_impl,
                            kv_mask=kv_mask, q_offset=q_offset)
         x = x + _mm(attn_out.reshape(b, s, h), lp["wo"])
         xn = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         x = x + _mm(jax.nn.silu(_mm(xn, lp["gate"])) * _mm(xn, lp["up"]), lp["down"])
-        return x, (layer_k, layer_v)
+        return (x, kc, vc), None
 
     layers = params["layers"]
     if cache is None:
@@ -307,7 +315,9 @@ def forward(
         body = cached_layer
         if cfg.remat:
             body = jax.checkpoint(body)
-        x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+        (x, new_k, new_v), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v),
+            (layers, jnp.arange(cfg.num_layers, dtype=jnp.int32)))
         new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s, valid=new_valid)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
