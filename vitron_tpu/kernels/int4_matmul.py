@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc, *, n_k):
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
@@ -83,8 +83,12 @@ def _int4_matmul_impl(x: jax.Array, q4: jax.Array, scale: jax.Array,
     assert k == 2 * k2, (k, k2)
     block_n = min(block_n, n)
     block_k2 = min(block_k2, k2)
-    # pad dims to block multiples; rows to the bf16 sublane tile
-    m_pad = -m % 16
+    # tile M as well: large-batch prefill (e.g. 8 x 256 rows) would
+    # otherwise hold all M rows of xe/xo/acc/out in VMEM at once and
+    # exceed the 16 MB scoped limit
+    block_m = min(512, m) if m > 512 else m
+    # pad rows to the bf16 sublane tile (or the m block)
+    m_pad = (-m % block_m) if m > 512 else (-m % 16)
     n_pad = -n % block_n
     k2_pad = -k2 % block_k2
     xe = x[:, 0::2]
@@ -95,25 +99,28 @@ def _int4_matmul_impl(x: jax.Array, q4: jax.Array, scale: jax.Array,
     q = jnp.pad(q4, ((0, k2_pad), (0, n_pad))) if (k2_pad or n_pad) else q4
     s = jnp.pad(scale, ((0, 0), (0, n_pad))) if n_pad else scale
     mm = m + m_pad
+    if mm <= 512:
+        block_m = mm
+    nm_b = mm // block_m
     nn_b = (n + n_pad) // block_n
     nk_b = (k2 + k2_pad) // block_k2
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_k=nk_b),
-        grid=(nn_b, nk_b),
+        grid=(nm_b, nn_b, nk_b),
         in_specs=[
-            pl.BlockSpec((mm, block_k2), lambda i, j: (0, j),
+            pl.BlockSpec((block_m, block_k2), lambda im, in_, ik: (im, ik),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mm, block_k2), lambda i, j: (0, j),
+            pl.BlockSpec((block_m, block_k2), lambda im, in_, ik: (im, ik),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k2, block_n), lambda i, j: (j, i),
+            pl.BlockSpec((block_k2, block_n), lambda im, in_, ik: (ik, in_),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, i),
+            pl.BlockSpec((1, block_n), lambda im, in_, ik: (0, in_),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((mm, block_n), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda im, in_, ik: (im, in_),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((mm, block_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((mm, n + n_pad), x.dtype),
         interpret=interpret,
     )(xe, xo, q, s)
