@@ -1,0 +1,123 @@
+"""Video-diffusion fine-tuning: loss descends, EMA parity, LR schedule parity.
+
+Mirrors the reference train loop semantics
+(modules/i2vgen-xl/tools/train/train_t2v_enterance.py:123-290,
+utils/optim/lr_scheduler.py:6-43).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitron_tpu.models.diffusion import unet_sd_video
+from vitron_tpu.models.diffusion.samplers import DiffusionSchedule
+from vitron_tpu.train import video as vt
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = unet_sd_video.UNetSDVideoConfig.tiny("t2v")
+    params = unet_sd_video.init_params(jax.random.PRNGKey(0), cfg)
+    sched = DiffusionSchedule.create("cosine", 1000, zero_terminal_snr=True)
+    return cfg, params, sched
+
+
+def _batch(rng, b=2, f=4, h=8, w=8, ctx=1024):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "x0": jax.random.normal(k1, (b, f, h, w, 4), jnp.float32) * 0.5,
+        "y": jax.random.normal(k2, (b, 7, ctx), jnp.float32) * 0.02,
+        "fps": jnp.full((b,), 8, jnp.int32),
+        "zero_y_negative": jnp.zeros((1, 7, ctx), jnp.float32),
+    }
+
+
+def test_loss_descends(tiny):
+    cfg, params, sched = tiny
+    tcfg = vt.VideoTrainConfig(lr=1e-3, warmup_steps=2, total_steps=10_000,
+                               use_ema=True, p_zero=0.0, use_div_loss=False)
+    step = jax.jit(vt.make_video_train_step(cfg, sched, tcfg))
+    state = vt.init_state(params, tcfg)
+    batch = _batch(jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(30):
+        # fixed rng => fixed (t, noise) => a deterministic objective that
+        # the optimizer should drive down monotonically-ish
+        state, loss = step(state, batch, rng)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.6, losses
+
+
+def test_ema_matches_reference_lerp(tiny):
+    """ema.copy_(model.lerp(ema, d)) == (1-d)*model + d*ema, checked over
+    several real optimizer steps (train_t2v_enterance.py:258-262)."""
+    cfg, params, sched = tiny
+    d = 0.9
+    tcfg = vt.VideoTrainConfig(lr=1e-3, warmup_steps=0, decay_mode="none",
+                               use_ema=True, ema_decay=d, p_zero=0.0)
+    step = jax.jit(vt.make_video_train_step(cfg, sched, tcfg))
+    state = vt.init_state(params, tcfg)
+    batch = _batch(jax.random.PRNGKey(3))
+
+    leaf = lambda tree: np.asarray(
+        tree["input_blocks"][0][0]["w"], np.float64)
+    ema_ref = leaf(state["params"])
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(10 + i))
+        ema_ref = (1 - d) * leaf(state["params"]) + d * ema_ref
+    np.testing.assert_allclose(leaf(state["ema"]), ema_ref, rtol=2e-5, atol=1e-7)
+
+
+def test_ema_lags_params(tiny):
+    cfg, params, sched = tiny
+    tcfg = vt.VideoTrainConfig(lr=1e-3, warmup_steps=0, decay_mode="none",
+                               use_ema=True, ema_decay=0.999, p_zero=0.0)
+    step = jax.jit(vt.make_video_train_step(cfg, sched, tcfg))
+    state = vt.init_state(params, tcfg)
+    batch = _batch(jax.random.PRNGKey(4))
+    for i in range(4):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    # params have moved; ema must stay much closer to the init than params
+    p0 = np.asarray(params["out_norm_s"])
+    dp = np.abs(np.asarray(state["params"]["out_norm_s"]) - p0).max()
+    de = np.abs(np.asarray(state["ema"]["out_norm_s"]) - p0).max()
+    assert dp > 0 and de < dp * 0.05
+
+
+def _ref_annealing_lr(base_lr, warmup, total, mode, step, min_lr=0.0):
+    """Pure-python copy of AnnealingLR.get_lr (lr_scheduler.py:19-30)."""
+    if warmup > 0 and step <= warmup:
+        return max(min_lr, base_lr * step / warmup)
+    ratio = min(1.0, max(0.0, (step - warmup) / (total - warmup)))
+    if mode == "linear":
+        return max(min_lr, base_lr * (1 - ratio))
+    if mode == "cosine":
+        return max(min_lr, base_lr * (math.cos(math.pi * ratio) + 1.0) / 2.0)
+    return max(min_lr, base_lr)
+
+
+@pytest.mark.parametrize("mode", ["linear", "cosine", "none"])
+def test_annealing_lr_parity(mode):
+    cfg = vt.VideoTrainConfig(lr=3e-5, warmup_steps=10, total_steps=1000,
+                              decay_mode=mode, min_lr=1e-7)
+    for s in [0, 1, 5, 10, 11, 100, 500, 999, 1000, 1500]:
+        got = float(vt.annealing_lr(cfg, s))
+        want = _ref_annealing_lr(3e-5, 10, 1000, mode, s, 1e-7)
+        assert got == pytest.approx(want, rel=1e-6), (mode, s)
+
+
+def test_cfg_dropout_uses_null_embedding(tiny):
+    """p_zero=1 must make the text embedding irrelevant."""
+    cfg, params, sched = tiny
+    tcfg = vt.VideoTrainConfig(lr=0.0, warmup_steps=0, decay_mode="none",
+                               use_ema=False, p_zero=1.0)
+    step = jax.jit(vt.make_video_train_step(cfg, sched, tcfg))
+    b1 = _batch(jax.random.PRNGKey(5))
+    b2 = dict(b1, y=b1["y"] + 100.0)
+    s1, l1 = step(vt.init_state(params, tcfg), b1, jax.random.PRNGKey(0))
+    s2, l2 = step(vt.init_state(params, tcfg), b2, jax.random.PRNGKey(0))
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
