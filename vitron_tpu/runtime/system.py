@@ -107,6 +107,17 @@ class VitronSystem:
         self._seem_text_mask = _text_mask
         self._track("seem", seem_params)
 
+        def _annotated(image, mask, label):
+            """Annotated composite like the reference's Visualizer output
+            (tasks/visualizer.py draw_binary_mask + class text)."""
+            from vitron_tpu.media import visualize as vz
+            img = np.asarray(image)
+            if img.dtype != np.uint8:
+                img = np.clip(img, 0, 255).astype(np.uint8)
+            return vz.draw_binary_mask(img, np.asarray(mask),
+                                       color=vz.COLORS[0], text=label,
+                                       alpha=0.5)
+
         def handle_b(req: TaskRequest) -> Dict[str, Any]:
             if req.image is None:
                 return {"status": "error", "error": "image_segmentation needs an image"}
@@ -119,8 +130,8 @@ class VitronSystem:
                 mask = _jit_stroke(seem_params,
                                    jnp.asarray(req.image, jnp.float32),
                                    jnp.asarray(pts), jnp.asarray(valid))
-                up = seem_model.upsample_mask(mask, req.image.shape[:2])
-                return {"mask": np.asarray(up)}
+                up = np.asarray(seem_model.upsample_mask(mask, req.image.shape[:2]))
+                return {"mask": up, "overlay": _annotated(req.image, up, None)}
             if req.extra.get("audio_transcript"):
                 # audio-referred segmentation (interactive.py:105-109):
                 # the host transcribes speech (the reference's Whisper hook,
@@ -133,10 +144,13 @@ class VitronSystem:
                 mask = _jit_audio(seem_params,
                                   jnp.asarray(req.image, jnp.float32),
                                   jnp.asarray(ids), jnp.asarray(mask_tok))
-                up = seem_model.upsample_mask(mask, req.image.shape[:2])
-                return {"mask": np.asarray(up)}
+                up = np.asarray(seem_model.upsample_mask(mask, req.image.shape[:2]))
+                return {"mask": up,
+                        "overlay": _annotated(req.image, up,
+                                              req.extra["audio_transcript"])}
             phrase = (req.instructions or [req.text])[0]
-            return {"mask": _text_mask(req.image, phrase)}
+            m = _text_mask(req.image, phrase)
+            return {"mask": m, "overlay": _annotated(req.image, m, phrase)}
 
         def handle_e(req: TaskRequest) -> Dict[str, Any]:
             if req.video is None or req.sketch_mask is None:
@@ -149,9 +163,12 @@ class VitronSystem:
                                  (size, size), method="linear")) > 0.5
             pts, valid = seem_dec.sample_stroke_points(
                 stroke, seem_cfg.decoder.max_spatial_len, np.random.RandomState(0))
-            masks = _jit_track(seem_params, frames, jnp.asarray(pts),
-                               jnp.asarray(valid))
-            return {"masks": np.asarray(masks)}
+            masks = np.asarray(_jit_track(seem_params, frames, jnp.asarray(pts),
+                                          jnp.asarray(valid)))
+            from vitron_tpu.media import visualize as vz
+            raw = np.clip(np.asarray(frames), 0, 255).astype(np.uint8)
+            return {"masks": masks,
+                    "overlay_frames": vz.masks_to_video_overlay(raw, masks)}
 
         self.registry.register("B", handle_b)
         self.registry.register("E", handle_e)
