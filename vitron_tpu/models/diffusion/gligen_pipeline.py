@@ -191,7 +191,17 @@ class GligenPipeline:
         gm = jnp.asarray(m_)[None]
 
         if is_inpaint:
-            img = jnp.asarray(inpaint_image, jnp.float32)
+            img = np.asarray(inpaint_image)
+            if img.shape[:2] != (cfg.image_size, cfg.image_size):
+                # the reference center-crops the inpaint source to 512^2
+                # (demo/app.py:299-306); we resize instead so normalized
+                # protocol boxes stay aligned with the full frame, and do it
+                # on HOST so the jitted program is not keyed on input size
+                from PIL import Image
+                img = np.asarray(Image.fromarray(
+                    np.clip(img, 0, 255).astype(np.uint8)).resize(
+                        (cfg.image_size, cfg.image_size), Image.BILINEAR))
+            img = jnp.asarray(img, jnp.float32)
             keep = inpaint_keep_mask if inpaint_keep_mask is not None else \
                 keep_mask_from_boxes(boxes, cfg.latent_size)
             keep = jnp.asarray(keep, jnp.float32)

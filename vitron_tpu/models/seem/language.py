@@ -12,7 +12,7 @@ prompt templates (vlpencoder.py:219-244); vl_similarity with exp(logit_scale)
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +147,28 @@ def class_embeddings(params, cfg: LangConfig, tokenizer,
         mean = jnp.mean(emb, axis=0)
         out.append(mean / (jnp.linalg.norm(mean) + 1e-7))
     return jnp.stack(out)
+
+
+def class_prompt_ids(tokenizer, class_names: Sequence[str], cfg: LangConfig,
+                     templates: Sequence[str] = None) -> Tuple[np.ndarray, int]:
+    """Host half of the class-bank build: tokenize every class x template
+    prompt at once -> ([n_cls * T, 77] ids, T). Pairs with
+    class_embeddings_from_ids so the device half is ONE jitted call instead
+    of 133 eager per-class passes (vlpencoder.py:219-244)."""
+    templates = tuple(templates) if templates else tuple(PROMPT_TEMPLATES)
+    names = [c.replace("-other", "").replace("-merged", "").replace("-stuff", "")
+             for c in class_names]
+    txts = [t.format(n) for n in names for t in templates]
+    return tokenize(tokenizer, txts, cfg.context_length), len(templates)
+
+
+def class_embeddings_from_ids(params, cfg: LangConfig, ids: jax.Array,
+                              n_templates: int) -> jax.Array:
+    """Jittable device half: prompt-ensembled mean per class, normalized
+    (vlpencoder.py:219-244). -> [n_cls, dim_proj]."""
+    _, emb = token_and_class_emb(params, cfg, ids, norm=True)
+    emb = emb.reshape(-1, n_templates, emb.shape[-1]).mean(axis=1)
+    return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-7)
 
 
 def tokenize(tokenizer, texts: List[str], max_length: int) -> np.ndarray:

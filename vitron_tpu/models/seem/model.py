@@ -203,6 +203,22 @@ def segment_visual(params, cfg: SeemConfig, image: jax.Array, visual_queries,
     return mask, logits
 
 
+def segment_panoptic(params, cfg: SeemConfig, image: jax.Array,
+                     class_bank: jax.Array):
+    """'Segment everything' pass (the demo's empty task list,
+    demo_code/app.py:131-136 -> seem_model.py:819-875): plain decoder
+    forward with every query scored against the pre-embedded class bank
+    (demo_code/app.py:69-71). class_bank: [K+1, dim_proj] with the last row
+    the 'background' no-object embedding. Returns
+    (class_logits [Q, K+1], mask_logits [Q, h, w])."""
+    mask_features, multi_scale, _ = encode_image(params, cfg, image)
+    out = dec.forward(
+        params["decoder"], cfg.decoder, multi_scale, mask_features,
+        class_embeddings=class_bank,
+        logit_scale=params["lang"]["logit_scale"])
+    return out["pred_logits"][0], out["pred_masks"][0]
+
+
 def upsample_mask(mask_logits: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """Bilinear upsample + 0 threshold (interactive.py:195-197)."""
     m = jax.image.resize(mask_logits[None, None], (1, 1) + tuple(out_hw),

@@ -89,6 +89,32 @@ class VitronSystem:
                                             mask_tok)[0]
 
         @jax.jit
+        def _jit_panoptic(params, image, bank):
+            img = jax.image.resize(image.astype(jnp.float32),
+                                   (size, size, 3), method="linear")
+            logits, masks = seem_model.segment_panoptic(
+                params, seem_cfg, img.astype(jnp.uint8), bank)
+            masks = jax.image.resize(masks, (masks.shape[0], size, size),
+                                     method="linear")
+            return logits, masks
+
+        _bank_cache: list = []
+
+        def _class_bank():
+            """COCO-134 class bank (133 classes + 'background' no-object row),
+            pre-embedded once like demo_code/app.py:69-71."""
+            if not _bank_cache:
+                from vitron_tpu.models.seem.postprocess import COCO_PANOPTIC_CLASSES
+                ids, n_t = seem_lang.class_prompt_ids(
+                    tokenizer, list(COCO_PANOPTIC_CLASSES) + ["background"],
+                    seem_cfg.lang)
+                bank = jax.jit(seem_lang.class_embeddings_from_ids,
+                               static_argnums=(1, 3))(
+                    seem_params["lang"], seem_cfg.lang, jnp.asarray(ids), n_t)
+                _bank_cache.append(np.asarray(bank))
+            return _bank_cache[0]
+
+        @jax.jit
         def _jit_track(params, frames, pts, valid):
             fr = jax.image.resize(frames.astype(jnp.float32),
                                   (frames.shape[0], size, size, 3),
@@ -148,7 +174,28 @@ class VitronSystem:
                 return {"mask": up,
                         "overlay": _annotated(req.image, up,
                                               req.extra["audio_transcript"])}
-            phrase = (req.instructions or [req.text])[0]
+            phrase = ((req.instructions or [req.text or ""])[0] or "").strip()
+            if not phrase:
+                # 'segment all': empty referring text and no stroke runs the
+                # panoptic pass (app.py:131-136 task=[])
+                from vitron_tpu.media import visualize as vz
+                from vitron_tpu.models.seem import postprocess as pp
+
+                logits, masks = _jit_panoptic(
+                    seem_params, jnp.asarray(req.image, jnp.float32),
+                    jnp.asarray(_class_bank()))
+                pan, segments = pp.panoptic_inference(
+                    np.asarray(logits), np.asarray(masks), pp.COCO_THING_IDS)
+                h, w = req.image.shape[:2]
+                yi = (np.arange(h) * pan.shape[0]) // h
+                xi = (np.arange(w) * pan.shape[1]) // w
+                pan_up = pan[yi[:, None], xi[None, :]]
+                img8 = np.clip(np.asarray(req.image), 0, 255).astype(np.uint8)
+                overlay, labels = vz.draw_panoptic(
+                    img8, pan_up, segments,
+                    class_names=pp.COCO_PANOPTIC_CLASSES)
+                return {"panoptic": pan_up, "segments": segments,
+                        "labels": labels, "overlay": overlay}
             m = _text_mask(req.image, phrase)
             return {"mask": m, "overlay": _annotated(req.image, m, phrase)}
 
@@ -183,32 +230,72 @@ class VitronSystem:
         def handle_a(req: TaskRequest) -> Dict[str, Any]:
             prompt = (req.instructions or [req.text])[0]
             boxes = parse_region_boxes(req.region)
-            norm = [[min(max(v, 0.0), 1.0) for v in b] for b in boxes]
-            phrases = req.instructions[1:] if req.instructions and len(req.instructions) > 1 else \
-                [prompt] * len(norm)
-            img = pipeline.generate(prompt, norm, phrases[: len(norm)],
-                                    guidance_scale=7.5)
+            if boxes:
+                # protocol-supplied grounding boxes (extension: the reference
+                # A path ignores regions entirely); extra instruction lines
+                # become the per-box phrases
+                norm = [[min(max(v, 0.0), 1.0) for v in b] for b in boxes]
+                phrases = (req.instructions[1:] if req.instructions and
+                           len(req.instructions) > 1 else [prompt] * len(norm))
+                img = pipeline.generate(prompt, norm, phrases[: len(norm)],
+                                        guidance_scale=7.5)
+            else:
+                # the reference's exact instruction dict: no grounding boxes,
+                # phrases=['placeholder'], gs 7.5, fixed seed
+                # (app.py:105-107)
+                img = pipeline.generate(prompt, [], ["placeholder"],
+                                        guidance_scale=7.5)
             return {"image": np.asarray(img)}
 
         def handle_c(req: TaskRequest) -> Dict[str, Any]:
             if req.image is None:
                 return {"status": "error", "error": "image_editing needs an image"}
-            instructions = req.instructions or [req.text]
-            target_phrase = instructions[-1]
-            # SEEM text segmentation -> region to replace (app.py:166-186)
-            keep = None
-            if hasattr(self, "_seem_text_mask") and len(instructions) > 1:
-                seg = self._seem_text_mask(req.image, instructions[0])
-                import jax
+            import jax
 
-                lat = pipeline.cfg.latent_size
+            from vitron_tpu.mm.sketch import mask_to_bbox
+
+            prompt = (req.instructions or [req.text])[0]
+            # the reference splits the single edit instruction on ';' into
+            # per-object phrases (app.py:171-173)
+            texts = [x.strip() for x in prompt.split(";") if x.strip()] or [prompt]
+            h, w = req.image.shape[:2]
+            lat = pipeline.cfg.latent_size
+            keep = None
+            if req.sketch_mask is not None and np.asarray(req.sketch_mask).any():
+                # user-drawn region: bbox from the sketch, GLIGEN draws the
+                # inpaint mask from the box (app.py:195-210)
+                bb = mask_to_bbox(np.asarray(req.sketch_mask, bool))
+                norm = [[bb[0] / w, bb[1] / h, bb[2] / w, bb[3] / h]]
+                phrases = texts[:1]
+                gy, gx = np.mgrid[0:lat, 0:lat]
+                inbox = ((gx >= norm[0][0] * lat) & (gx < norm[0][2] * lat) &
+                         (gy >= norm[0][1] * lat) & (gy < norm[0][3] * lat))
+                keep = (~inbox).astype(np.float32)
+            elif hasattr(self, "_seem_text_mask"):
+                # no sketch: per-phrase SEEM text segmentation, masks merged
+                # with logical_or, boxes from each mask (app.py:176-186)
+                merged = np.zeros((h, w), bool)
+                norm, phrases = [], []
+                for t in texts:
+                    seg = self._seem_text_mask(req.image, t)
+                    merged |= seg.astype(bool)
+                    bb = mask_to_bbox(seg.astype(bool))
+                    if bb is not None:
+                        norm.append([bb[0] / w, bb[1] / h, bb[2] / w, bb[3] / h])
+                        phrases.append(t)
+                if not norm:
+                    norm, phrases = [[0.25, 0.25, 0.75, 0.75]], texts[:1]
                 small = np.asarray(jax.image.resize(
-                    jnp.asarray(seg, jnp.float32), (lat, lat), method="linear"))
-                keep = (small < 0.5).astype(np.float32)  # keep outside the object
-            boxes = parse_region_boxes(req.region)
-            norm = [[min(max(v, 0.0), 1.0) for v in b] for b in boxes] or [[0.25, 0.25, 0.75, 0.75]]
+                    jnp.asarray(merged, jnp.float32), (lat, lat),
+                    method="linear"))
+                keep = (small < 0.5).astype(np.float32)  # keep outside objects
+            else:
+                boxes = parse_region_boxes(req.region)
+                norm = ([[min(max(v, 0.0), 1.0) for v in b] for b in boxes]
+                        or [[0.25, 0.25, 0.75, 0.75]])
+                phrases = texts[: len(norm)] or [prompt]
             img = pipeline.generate(
-                target_phrase, norm, [target_phrase] * len(norm),
+                prompt, norm, phrases,
                 guidance_scale=30.0,  # inpaint guidance (app.py:189)
                 inpaint_image=jnp.asarray(req.image), inpaint_keep_mask=keep)
             return {"image": np.asarray(img)}
