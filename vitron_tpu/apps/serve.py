@@ -8,8 +8,12 @@ server with resident weights: POST /chat with JSON
 {"status", "task"?, "text", "image"/"mask"/"video" (base64)?}.
 GET /health reports registered backends.
 
-Single-threaded by design: TPU programs serialize anyway; requests queue in
-the listen backlog (the reference's Gradio queue does the same).
+Pipelined: connections are handled on threads (ThreadingHTTPServer); each
+request's host preprocessing runs in the ServingPipeline worker pool while
+ONE device thread serializes MLLM/backend programs — request N+1's
+decode/resize overlaps the device generating for N
+(runtime/pipeline.py::ServingPipeline; the reference runs both phases
+serially on its Gradio callback thread, SURVEY §3.1).
 """
 from __future__ import annotations
 
@@ -17,7 +21,7 @@ import base64
 import io
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -92,8 +96,12 @@ async function send(){
 </script></body></html>"""
 
 
-def make_handler(system):
+def make_handler(system, pipeline=None):
     from vitron_tpu.runtime.generation import SamplingConfig
+    from vitron_tpu.runtime.pipeline import ServingPipeline
+
+    if pipeline is None:
+        pipeline = ServingPipeline(system)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: Dict[str, Any]):
@@ -112,6 +120,8 @@ def make_handler(system):
                 self._send(200, {"status": "ok",
                                  "backends": system.registry.available()})
             elif self.path == "/stats":
+                from vitron_tpu.runtime import telemetry
+
                 plan = system.memory_plan
                 self._send(200, {
                     "backends": system.registry.available(),
@@ -120,6 +130,9 @@ def make_handler(system):
                     "fits": plan.fits,
                     "entries": plan.entries,
                     "report": plan.report(),
+                    # compiled-program cache counts (bounded LRU per
+                    # pipeline; see runtime/telemetry.py)
+                    "programs": telemetry.all_stats(),
                 })
             elif self.path in ("/", "/index.html"):
                 body = _INDEX_HTML.encode()
@@ -147,9 +160,9 @@ def make_handler(system):
                     top_p=float(req.get("top_p", 0.7)),
                     max_new_tokens=int(req.get("max_new_tokens", 1024)),
                     greedy=bool(req.get("greedy", False)))
-                result = system.chat(
+                result = pipeline.submit(
                     req.get("prompt", ""), image=image, video=video,
-                    region_box=req.get("region"), sampling=sampling)
+                    region_box=req.get("region"), sampling=sampling).result()
                 self._send(200, _encode_result(result))
             except Exception as e:  # report, don't crash the server
                 self._send(500, {"status": "error", "error": f"{type(e).__name__}: {e}"})
@@ -159,7 +172,7 @@ def make_handler(system):
 
 def serve(system, host: str = "127.0.0.1", port: int = 8080,
           background: bool = False) -> Optional[HTTPServer]:
-    server = HTTPServer((host, port), make_handler(system))
+    server = ThreadingHTTPServer((host, port), make_handler(system))
     if background:
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()

@@ -101,7 +101,8 @@ class GligenPipeline:
         # tunnel-attached TPU every eager dispatch costs ~33 ms, so an
         # un-jitted 50-step generate (~3000 ops) took 146 s vs ~1.5 s for
         # the same math compiled as ONE program
-        self._run_cache: Dict[Any, Any] = {}
+        from vitron_tpu.runtime.telemetry import ProgramCache
+        self._run_cache = ProgramCache("gligen-run", max_entries=8)
 
     # ---------------------------------------------------------- text utils
 
@@ -220,7 +221,7 @@ class GligenPipeline:
     def _get_run(self, steps: int, guidance_scale: float,
                  alpha_type: Tuple[float, ...], is_inpaint: bool):
         key = (steps, guidance_scale, alpha_type, is_inpaint)
-        fn = self._run_cache.get(key)
+        fn = self._run_cache.lookup(key)
         if fn is not None:
             return fn
         cfg = self.cfg
@@ -257,9 +258,7 @@ class GligenPipeline:
             img = jnp.clip(img, -1, 1) * 0.5 + 0.5
             return (img * 255).astype(jnp.uint8)
 
-        fn = jax.jit(run)
-        self._run_cache[key] = fn
-        return fn
+        return self._run_cache.store(key, jax.jit(run))
 
 
 def reproject_image_feature(feature: jax.Array,

@@ -275,9 +275,10 @@ class StableVideoEditor:
         from vitron_tpu.models.diffusion.vae import SD_SCALE_FACTOR
 
         if not hasattr(self, "_edit_cache"):
-            self._edit_cache = {}
+            from vitron_tpu.runtime.telemetry import ProgramCache
+            self._edit_cache = ProgramCache("stablevideo-edit", max_entries=8)
         key = (steps, t_enc, guidance_scale, from_noise, use_image, latent_hw)
-        fn = self._edit_cache.get(key)
+        fn = self._edit_cache.lookup(key)
         if fn is not None:
             return fn
         cfg = self.unet_cfg
@@ -332,9 +333,7 @@ class StableVideoEditor:
             out = jnp.clip(out, -1, 1) * 0.5 + 0.5
             return (out * 255).astype(jnp.uint8)
 
-        fn = jax.jit(run)
-        self._edit_cache[key] = fn
-        return fn
+        return self._edit_cache.store(key, jax.jit(run))
 
 
 # ------------------------------------------------------ foreground editing

@@ -103,8 +103,9 @@ class Text2VideoPipeline:
 
     def _get_run(self, steps: int):
         if not hasattr(self, "_run_cache"):
-            self._run_cache = {}
-        fn = self._run_cache.get(steps)
+            from vitron_tpu.runtime.telemetry import ProgramCache
+            self._run_cache = ProgramCache("t2v-run", max_entries=4)
+        fn = self._run_cache.lookup(steps)
         if fn is not None:
             return fn
         cfg = self.cfg
@@ -131,9 +132,7 @@ class Text2VideoPipeline:
             frames = jnp.clip(frames, -1, 1) * 0.5 + 0.5
             return (frames * 255).astype(jnp.uint8)
 
-        fn = jax.jit(run)
-        self._run_cache[steps] = fn
-        return fn
+        return self._run_cache.store(steps, jax.jit(run))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -218,8 +217,9 @@ class Image2VideoPipeline:
 
     def _get_run(self, steps: int):
         if not hasattr(self, "_run_cache"):
-            self._run_cache = {}
-        fn = self._run_cache.get(steps)
+            from vitron_tpu.runtime.telemetry import ProgramCache
+            self._run_cache = ProgramCache("i2v-run", max_entries=4)
+        fn = self._run_cache.lookup(steps)
         if fn is not None:
             return fn
         cfg = self.cfg
@@ -252,6 +252,4 @@ class Image2VideoPipeline:
             frames = jnp.clip(frames, -1, 1) * 0.5 + 0.5
             return (frames * 255).astype(jnp.uint8)
 
-        fn = jax.jit(run)
-        self._run_cache[steps] = fn
-        return fn
+        return self._run_cache.store(steps, jax.jit(run))

@@ -194,7 +194,11 @@ class PagedServer:
                 kp.at[:, blocks, offs].set(kn),
                 vp.at[:, blocks, offs].set(vn)),
             donate_argnums=(0, 1))
-        self._chunk_fns: Dict[Any, Any] = {}
+        from vitron_tpu.runtime.telemetry import ProgramCache
+        # one program per (chunk, batch, max_blocks) bucket; bounded + LRU
+        # so shape churn in a long-running server cannot accumulate
+        # executables (telemetry surfaces in /stats)
+        self._chunk_fns = ProgramCache("paged-server-chunk", max_entries=16)
 
     def add_request(self, prompt_ids: List[int],
                     chunk: Optional[int] = None) -> int:
@@ -298,7 +302,8 @@ class PagedServer:
         kernels/quantization.py) and scans n paged decode steps, scattering
         each new token's K/V through the block table on device."""
         key = (n, b, self.max_blocks)
-        if key not in self._chunk_fns:
+        cached = self._chunk_fns.lookup(key)
+        if cached is None:
             cfg = self.cfg
             bs = self.pool.block_size
 
@@ -326,8 +331,9 @@ class PagedServer:
                     body, (k_pool, v_pool, lengths, last_token), None, length=n)
                 return k_pool, v_pool, lengths, token, toks.T  # [B, n]
 
-            self._chunk_fns[key] = jax.jit(_chunk, donate_argnums=(1, 2))
-        return self._chunk_fns[key]
+            cached = self._chunk_fns.store(
+                key, jax.jit(_chunk, donate_argnums=(1, 2)))
+        return cached
 
     def step_n(self, n: int) -> Dict[int, List[int]]:
         """Greedy-decode n tokens for every active sequence in ONE device

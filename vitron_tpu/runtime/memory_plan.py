@@ -46,29 +46,47 @@ def kv_cache_bytes(num_layers: int, batch: int, max_len: int, kv_heads: int,
 
 @dataclasses.dataclass
 class MemoryPlan:
-    """Tracks resident model placement against a per-chip HBM budget."""
+    """Tracks resident model placement against a per-chip HBM budget.
+
+    Multi-chip deployments (SURVEY §7: Vicuna-7B sharded over 8 x 16 GB
+    chips, backends replicated) set ``chips`` > 1 and mark sharded entries:
+    a sharded entry costs total/chips per chip; a replicated entry costs its
+    full size on every chip. ``fits``/``report`` are per-chip."""
 
     budget_bytes: int = 16 * 1024 ** 3          # v5e HBM
     reserve_bytes: int = 2 * 1024 ** 3          # activations / cache headroom
+    chips: int = 1
     entries: Dict[str, int] = dataclasses.field(default_factory=dict)
+    sharded: Dict[str, bool] = dataclasses.field(default_factory=dict)
 
     def add(self, name: str, params_or_bytes: Any,
-            strict: bool = False) -> int:
-        """Register a resident model; returns its measured bytes.
+            strict: bool = False, sharded: bool = False) -> int:
+        """Register a resident model; returns its measured TOTAL bytes.
 
-        strict=True raises when the plan no longer fits instead of just
-        recording it (callers that can shed precision — e.g. requantize —
-        catch this)."""
+        sharded=True marks the entry as mesh-sharded (per-chip cost =
+        total/chips). strict=True raises when the plan no longer fits
+        instead of just recording it (callers that can shed precision —
+        e.g. requantize — catch this)."""
         n = (int(params_or_bytes) if isinstance(params_or_bytes, (int, np.integer))
              else tree_bytes(params_or_bytes))
         self.entries[name] = n
+        self.sharded[name] = bool(sharded)
         if strict and not self.fits:
             raise MemoryError(
                 f"memory plan over budget adding {name!r}:\n{self.report()}")
         return n
 
+    def per_chip_bytes(self, name: str) -> int:
+        n = self.entries[name]
+        return -(-n // self.chips) if self.sharded.get(name) else n
+
     @property
     def resident_bytes(self) -> int:
+        """Per-chip resident bytes (== total when chips == 1)."""
+        return sum(self.per_chip_bytes(k) for k in self.entries)
+
+    @property
+    def total_bytes(self) -> int:
         return sum(self.entries.values())
 
     @property
@@ -77,10 +95,17 @@ class MemoryPlan:
 
     def report(self) -> str:
         gib = 1024 ** 3
-        lines = [f"{name:<24} {n / gib:7.2f} GiB"
-                 for name, n in sorted(self.entries.items(),
-                                       key=lambda kv: -kv[1])]
-        lines.append(f"{'resident total':<24} {self.resident_bytes / gib:7.2f} GiB")
+        lines = []
+        if self.chips > 1:
+            lines.append(f"placement over {self.chips} chips "
+                         f"(per-chip budget {self.budget_bytes / gib:.0f} GiB):")
+        for name, n in sorted(self.entries.items(), key=lambda kv: -kv[1]):
+            pc = self.per_chip_bytes(name)
+            tag = (f"  sharded/{self.chips}" if self.sharded.get(name)
+                   else ("  replicated" if self.chips > 1 else ""))
+            lines.append(f"{name:<24} {pc / gib:7.2f} GiB/chip"
+                         f" (total {n / gib:6.2f}){tag}")
+        lines.append(f"{'resident total':<24} {self.resident_bytes / gib:7.2f} GiB/chip")
         lines.append(f"{'reserve (act/cache)':<24} {self.reserve_bytes / gib:7.2f} GiB")
         lines.append(f"{'budget':<24} {self.budget_bytes / gib:7.2f} GiB"
                      f"  ({'OK' if self.fits else 'OVER'})")

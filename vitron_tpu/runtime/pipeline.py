@@ -70,6 +70,53 @@ class PipelinedRunner:
         self.prefetcher.close()
 
 
+class ServingPipeline:
+    """Request pipeline for serve.py: host preprocessing of request N+1
+    overlaps device generation for request N.
+
+    - `prepare` (system.prepare: decode/resize/prompt assembly) runs in a
+      worker pool, one task per incoming request;
+    - `chat_prepared` (MLLM generate + routing) runs on ONE device thread —
+      TPU programs serialize anyway, and a single submitter keeps program
+      order deterministic.
+
+    The reference runs both phases serially on the Gradio callback thread
+    (SURVEY §3.1 'CPU hot loop')."""
+
+    def __init__(self, system, num_workers: int = 4):
+        self.system = system
+        self._prep = concurrent.futures.ThreadPoolExecutor(
+            num_workers, thread_name_prefix="vitron-prep")
+        self._device = concurrent.futures.ThreadPoolExecutor(
+            1, thread_name_prefix="vitron-device")
+
+    def submit(self, user_message: str, image=None, video=None,
+               sketch_mask=None, region_box=None, history=None,
+               sampling=None, rng=None, extra=None) -> "concurrent.futures.Future":
+        """Enqueue one chat turn; returns a Future of the chat() result."""
+        from vitron_tpu.runtime.generation import SamplingConfig
+
+        sampling = sampling or SamplingConfig()
+        prep_fut = self._prep.submit(self.system.prepare, user_message,
+                                     image, video, region_box)
+
+        def run_device():
+            prepared = prep_fut.result()
+            return self.system.chat_prepared(
+                prepared, sketch_mask=sketch_mask, history=history,
+                sampling=sampling, rng=rng, extra=extra)
+
+        return self._device.submit(run_device)
+
+    def chat(self, *args, **kw):
+        """Blocking convenience: submit + wait."""
+        return self.submit(*args, **kw).result()
+
+    def close(self):
+        self._prep.shutdown(wait=False)
+        self._device.shutdown(wait=False)
+
+
 class MediaPrefetcher:
     """Dataset media loader for the trainer: decodes images/videos with the
     native C++ preprocessor in worker threads, keeping the train step fed."""

@@ -398,14 +398,15 @@ class VitronSystem:
 
     # ------------------------------------------------------------- chat
 
-    def chat(self, user_message: str, image: Optional[np.ndarray] = None,
-             video: Optional[np.ndarray] = None,
-             sketch_mask: Optional[np.ndarray] = None,
-             region_box: Optional[list] = None,
-             history=None, sampling: SamplingConfig = SamplingConfig(),
-             rng=None, extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
-        """One turn: preprocess media, run the MLLM, route any tool call
-        (predict(), app.py:456-664)."""
+    def prepare(self, user_message: str, image: Optional[np.ndarray] = None,
+                video: Optional[np.ndarray] = None,
+                region_box: Optional[list] = None) -> Dict[str, Any]:
+        """Host half of a turn: media preprocessing + prompt assembly.
+
+        Runs in worker threads (runtime/pipeline.py ServingPipeline) so the
+        next request's decode/resize overlaps the device generating for the
+        current one — the reference does all of this serially on the chat
+        thread (SURVEY §3.1 'CPU hot loop')."""
         from vitron_tpu.media.preprocess import preprocess_image, preprocess_video
 
         tower_size = self.engine.generator.cfg.image_tower.image_size
@@ -434,11 +435,36 @@ class VitronSystem:
             region_boxes = np.asarray([scaled], np.float32)
             if "<objs>" not in msg:
                 msg = msg + " <objs>"
+        return {"msg": msg, "media": media, "region_boxes": region_boxes,
+                "image": image, "video": video}
 
-        reply = self.engine.chat(msg, media=media, region_boxes=region_boxes,
+    def chat_prepared(self, prepared: Dict[str, Any],
+                      sketch_mask: Optional[np.ndarray] = None,
+                      history=None, sampling: SamplingConfig = SamplingConfig(),
+                      rng=None,
+                      extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Device half: MLLM generate + protocol routing on a prepared
+        request."""
+        reply = self.engine.chat(prepared["msg"], media=prepared["media"],
+                                 region_boxes=prepared["region_boxes"],
                                  history=history, sampling=sampling, rng=rng)
         result = route_model_output(
-            self.registry, reply["raw"], image=image, video=video,
-            sketch_mask=sketch_mask, extra=extra)
+            self.registry, reply["raw"], image=prepared["image"],
+            video=prepared["video"], sketch_mask=sketch_mask, extra=extra)
         result["reply"] = reply
         return result
+
+    def chat(self, user_message: str, image: Optional[np.ndarray] = None,
+             video: Optional[np.ndarray] = None,
+             sketch_mask: Optional[np.ndarray] = None,
+             region_box: Optional[list] = None,
+             history=None, sampling: SamplingConfig = SamplingConfig(),
+             rng=None, extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """One turn: preprocess media, run the MLLM, route any tool call
+        (predict(), app.py:456-664). Serial convenience wrapper over
+        prepare() + chat_prepared(); serve.py pipelines the two halves."""
+        prepared = self.prepare(user_message, image=image, video=video,
+                                region_box=region_box)
+        return self.chat_prepared(prepared, sketch_mask=sketch_mask,
+                                  history=history, sampling=sampling, rng=rng,
+                                  extra=extra)
