@@ -61,3 +61,27 @@ def test_clear_and_copy():
     c.clear_message()
     assert len(c.messages) == 0
     assert len(c2.messages) == 1
+
+
+def test_to_chatbot_history_rendering():
+    """to_gradio_chatbot parity (reference conversation.py:162-191): pairs,
+    offset hiding, inline <img> for media tuples."""
+    import numpy as np
+
+    from vitron_tpu.mm.conversation import conv_templates
+
+    conv = conv_templates["llava_v1"].copy()
+    img = np.zeros((64, 48, 3), np.uint8)
+    conv.append_message(conv.roles[0], ("<image>\nwhat is this?", img, "Crop"))
+    conv.append_message(conv.roles[1], "A dark rectangle.")
+    conv.append_message(conv.roles[0], "thanks")
+    conv.append_message(conv.roles[1], None)
+    chat = conv.to_chatbot()
+    assert len(chat) == 2
+    user0, asst0 = chat[0]
+    assert user0.startswith('<img src="data:image/png;base64,')
+    assert "what is this?" in user0 and "<image>" not in user0
+    assert asst0 == "A dark rectangle."
+    assert chat[1] == ["thanks", None]
+    # alias matches the reference method name
+    assert conv.to_gradio_chatbot() == chat

@@ -53,8 +53,15 @@ def _encode_result(result: Dict[str, Any]) -> Dict[str, Any]:
     if result.get("masks") is not None:
         out["masks"] = [_encode_image(m.astype(np.uint8) * 255)
                         for m in result["masks"]]
+    if result.get("overlay") is not None:
+        out["overlay"] = _encode_image(result["overlay"])
+    if result.get("overlay_frames") is not None:
+        out["overlay_frames"] = [_encode_image(f)
+                                 for f in result["overlay_frames"]]
     if result.get("video") is not None:
         out["video_frames"] = [_encode_image(f) for f in result["video"]]
+    if result.get("labels"):
+        out["labels"] = {str(k): v for k, v in result["labels"].items()}
     if result.get("error"):
         out["error"] = result["error"]
     return out
@@ -62,35 +69,92 @@ def _encode_result(result: Dict[str, Any]) -> Dict[str, Any]:
 
 _INDEX_HTML = """<!doctype html>
 <html><head><title>vitron-tpu</title><style>
-body{font-family:sans-serif;max-width:760px;margin:2em auto;padding:0 1em}
-textarea,input{width:100%;margin:.3em 0}#out{white-space:pre-wrap;
-background:#f6f6f6;padding:1em;border-radius:6px}img{max-width:100%}
+body{font-family:sans-serif;max-width:860px;margin:1.5em auto;padding:0 1em}
+textarea,input[type=file]{width:100%;margin:.3em 0}
+#log{background:#f6f6f6;padding:1em;border-radius:6px;min-height:4em;
+max-height:24em;overflow-y:auto}
+.turn-u{color:#036;margin:.4em 0}.turn-a{color:#063;margin:.4em 0}
+#wrap{position:relative;display:inline-block}#pad{position:absolute;left:0;
+top:0;cursor:crosshair}img,canvas{max-width:100%}
+button{margin-right:.4em}#media img{max-width:240px;margin:.2em}
+.err{color:#a00}
 </style></head><body>
 <h2>vitron-tpu</h2>
-<p>Unified pixel-level vision LLM — chat, segment, generate, edit, track.</p>
-<textarea id="prompt" rows="3" placeholder="Ask something, or request a task
+<p>Unified pixel-level vision LLM - chat, segment, generate, edit, track.
+Draw on the image to mark a region (Box) or sketch a mask (Stroke).</p>
+<div id="log"></div>
+<textarea id="prompt" rows="2" placeholder="Ask something, or request a task
 (segment the dog / draw a red cube at ... / make a video of ...)"></textarea>
 <input type="file" id="image" accept="image/*">
+<div>
+<label><input type="radio" name="mode" value="box" checked> Box</label>
+<label><input type="radio" name="mode" value="stroke"> Stroke</label>
+<button onclick="clearPad()">Clear sketch</button>
 <label><input type="checkbox" id="greedy"> greedy</label>
 <button onclick="send()">Send</button>
-<div id="out"></div><div id="media"></div>
+</div>
+<div id="wrap"><img id="view" style="display:none">
+<canvas id="pad" style="display:none"></canvas></div>
+<div id="media"></div>
 <script>
+let imgEl=document.getElementById('view'),pad=document.getElementById('pad');
+let ctx=null,drawing=false,box=null,hasStroke=false,natW=0,natH=0;
+document.getElementById('image').addEventListener('change',e=>{
+  const f=e.target.files[0]; if(!f) return;
+  const fr=new FileReader();
+  fr.onload=()=>{imgEl.src=fr.result;imgEl.style.display='block';
+    imgEl.onload=()=>{natW=imgEl.naturalWidth;natH=imgEl.naturalHeight;
+      pad.width=imgEl.width;pad.height=imgEl.height;pad.style.display='block';
+      ctx=pad.getContext('2d');clearPad();};};
+  fr.readAsDataURL(f);});
+function mode(){return document.querySelector('input[name=mode]:checked').value;}
+function pos(e){const r=pad.getBoundingClientRect();
+  return [e.clientX-r.left,e.clientY-r.top];}
+pad.addEventListener('mousedown',e=>{drawing=true;const [x,y]=pos(e);
+  if(mode()==='box'){box=[x,y,x,y];}else{ctx.beginPath();ctx.moveTo(x,y);
+    ctx.strokeStyle='rgba(255,0,0,0.8)';ctx.lineWidth=8;hasStroke=true;}});
+pad.addEventListener('mousemove',e=>{if(!drawing)return;const [x,y]=pos(e);
+  if(mode()==='box'){box[2]=x;box[3]=y;redrawBox();}
+  else{ctx.lineTo(x,y);ctx.stroke();}});
+window.addEventListener('mouseup',()=>drawing=false);
+function redrawBox(){ctx.clearRect(0,0,pad.width,pad.height);
+  ctx.strokeStyle='red';ctx.lineWidth=2;
+  ctx.strokeRect(box[0],box[1],box[2]-box[0],box[3]-box[1]);}
+function clearPad(){if(ctx)ctx.clearRect(0,0,pad.width,pad.height);
+  box=null;hasStroke=false;}
+function scaleBox(b){const sx=natW/pad.width,sy=natH/pad.height;
+  return [Math.min(b[0],b[2])*sx,Math.min(b[1],b[3])*sy,
+          Math.max(b[0],b[2])*sx,Math.max(b[1],b[3])*sy];}
+function maskB64(){const c=document.createElement('canvas');
+  c.width=natW;c.height=natH;const g=c.getContext('2d');
+  g.fillStyle='black';g.fillRect(0,0,natW,natH);
+  g.drawImage(pad,0,0,pad.width,pad.height,0,0,natW,natH);
+  return c.toDataURL('image/png').split(',')[1];}
+function append(cls,html){const log=document.getElementById('log');
+  const d=document.createElement('div');d.className=cls;d.innerHTML=html;
+  log.appendChild(d);log.scrollTop=log.scrollHeight;}
 async function send(){
-  const out=document.getElementById('out'); out.textContent='...';
   const media=document.getElementById('media'); media.innerHTML='';
-  const body={prompt:document.getElementById('prompt').value,
+  const promptText=document.getElementById('prompt').value;
+  append('turn-u','<b>you:</b> '+promptText);
+  const body={prompt:promptText,
               greedy:document.getElementById('greedy').checked};
   const f=document.getElementById('image').files[0];
   if(f){body.image=await new Promise(r=>{const fr=new FileReader();
     fr.onload=()=>r(fr.result.split(',')[1]);fr.readAsDataURL(f);});}
+  if(box&&mode()==='box'){body.region=scaleBox(box);}
+  if(hasStroke){body.sketch=maskB64();}
   const resp=await fetch('/chat',{method:'POST',
     headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
   const j=await resp.json();
-  out.textContent=JSON.stringify({status:j.status,task:j.task,text:j.text||j.raw,
-                                  error:j.error},null,2);
-  for(const k of ['image','mask']) if(j[k])
+  if(j.error){append('turn-a err','<b>error:</b> '+j.error);return;}
+  append('turn-a','<b>vitron'+(j.task?' ['+j.task+']':'')+':</b> '+
+         (j.text||j.raw||''));
+  for(const k of ['image','overlay','mask']) if(j[k])
     media.innerHTML+=`<img src="data:image/png;base64,${j[k]}">`;
   if(j.video_frames) for(const fimg of j.video_frames)
+    media.innerHTML+=`<img src="data:image/png;base64,${fimg}" width=160>`;
+  if(j.overlay_frames) for(const fimg of j.overlay_frames)
     media.innerHTML+=`<img src="data:image/png;base64,${fimg}" width=160>`;
 }
 </script></body></html>"""
@@ -152,6 +216,10 @@ def make_handler(system, pipeline=None):
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 image = _decode_image(req["image"]) if req.get("image") else None
+                sketch = None
+                if req.get("sketch"):
+                    # white strokes on black from the UI sketch pad
+                    sketch = _decode_image(req["sketch"]).max(axis=-1) > 127
                 video = None
                 if req.get("video_frames"):
                     video = np.stack([_decode_image(f) for f in req["video_frames"]])
@@ -162,6 +230,7 @@ def make_handler(system, pipeline=None):
                     greedy=bool(req.get("greedy", False)))
                 result = pipeline.submit(
                     req.get("prompt", ""), image=image, video=video,
+                    sketch_mask=sketch,
                     region_box=req.get("region"), sampling=sampling).result()
                 self._send(200, _encode_result(result))
             except Exception as e:  # report, don't crash the server

@@ -25,6 +25,33 @@ class SeparatorStyle(enum.Enum):
 Message = Union[str, Tuple]  # str, or (str, media, process_mode) tuples
 
 
+def _image_html(image) -> str:
+    """Inline <img> tag with the reference's resize policy
+    (conversation.py:170-184: longest edge <= 800, shortest <= 400)."""
+    import base64
+    from io import BytesIO
+
+    from PIL import Image
+
+    if not isinstance(image, Image.Image):
+        import numpy as np
+
+        image = Image.fromarray(np.asarray(image).astype("uint8"))
+    max_hw, min_hw = max(image.size), min(image.size)
+    aspect = max_hw / max(min_hw, 1)
+    shortest = int(min(800 / aspect, 400, min_hw))
+    longest = int(shortest * aspect)
+    w, h = image.size
+    if h > w:
+        h, w = longest, shortest
+    else:
+        h, w = shortest, longest
+    buf = BytesIO()
+    image.resize((w, h)).save(buf, format="JPEG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    return f'<img src="data:image/png;base64,{b64}" alt="user upload image" />'
+
+
 @dataclasses.dataclass
 class Conversation:
     """Keeps a conversation history and renders it to a prompt string.
@@ -129,6 +156,28 @@ class Conversation:
 
     def clear_message(self) -> None:
         self.messages.clear()
+
+    def to_chatbot(self) -> List[List[Optional[str]]]:
+        """History rendered as [user_html, assistant_html] pairs — the
+        reference's ``to_gradio_chatbot`` (vitron/conversation.py:162-191):
+        media tuples become inline base64 <img> tags resized with the
+        800/400 longest/shortest-edge policy; the ``offset`` seed turns are
+        hidden. Accepts PIL images or HWC uint8 arrays in the tuple."""
+        ret: List[List[Optional[str]]] = []
+        for i, (role, msg) in enumerate(self.messages[self.offset:]):
+            if i % 2 == 0:
+                if isinstance(msg, tuple):
+                    text, image = msg[0], msg[1]
+                    ret.append([_image_html(image) +
+                                text.replace("<image>", "").strip(), None])
+                else:
+                    ret.append([msg, None])
+            else:
+                ret[-1][-1] = msg
+        return ret
+
+    # reference method name, kept as an alias
+    to_gradio_chatbot = to_chatbot
 
     def copy(self) -> "Conversation":
         return Conversation(
