@@ -262,6 +262,27 @@ def bench_sd_unet() -> dict:
     return {"sd_unet_cfg_steps_per_s": round(20 / (hi - lo), 2)}
 
 
+V5E_HBM_BYTES_S = 819e9   # v5e HBM bandwidth
+V5E_BF16_FLOPS = 197e12   # v5e bf16 peak
+
+
+def decode_roofline_tok_s(preset: str, quant: str, avg_ctx: int) -> float:
+    """HBM-bandwidth-bound decode ceiling: every step must read all weights
+    plus the KV history once. Self-documenting progress metric (the 65%->
+    goal is to close the measured/roofline gap, docs/PERF.md)."""
+    d = PRESETS[preset]
+    h, f, L, v = (d["hidden_size"], d["intermediate_size"],
+                  d["num_layers"], d["vocab_size"])
+    kvd = d["num_kv_heads"] * (h // d["num_heads"])
+    matmul_elems = L * (2 * h * h + 2 * h * kvd + 3 * h * f)
+    wbytes = {"int4": 0.5, "int8": 1.0, "": 2.0}[quant]
+    weight_bytes = matmul_elems * wbytes + 2 * v * h * 2  # embed+lm_head bf16
+    if quant:  # per-output-channel f32 scales
+        weight_bytes += L * (4 * h + 3 * f) * 4
+    kv_bytes = L * 2 * avg_ctx * kvd * 2
+    return V5E_HBM_BYTES_S / (weight_bytes + kv_bytes)
+
+
 def main():
     preset = os.environ.get("VITRON_BENCH_PRESET", "7b")
     if preset not in PRESETS:
@@ -296,6 +317,9 @@ def main():
     # north-star extras (BASELINE.md): e2e request, SEEM fps, UNet steps/s —
     # each best-effort so a failure cannot take down the primary metric
     extras = {}
+    roof = decode_roofline_tok_s(used, quant, prefill + n_new // 2)
+    extras["decode_roofline_tok_s"] = round(roof, 1)
+    extras["decode_roofline_frac"] = round(toks / roof, 3)
     if os.environ.get("VITRON_BENCH_EXTRAS", "1") == "1" and used == "7b":
         for fn in (bench_e2e_request, bench_seem_fps, bench_sd_unet):
             try:
@@ -309,6 +333,9 @@ def main():
         "value": round(toks, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        # the reference publishes NO numbers (BASELINE.md); vs_baseline is
+        # against a nominal 30 tok/s A100 fp16 HF-generate figure
+        "vs_baseline_note": "nominal A100 fp16 HF-generate 30 tok/s",
         **({"extras": extras} if extras else {}),
     }))
 
