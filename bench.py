@@ -216,6 +216,60 @@ def bench_seem_fps() -> dict:
     return {"seem_track_fps": round(8.0 / best, 1)}
 
 
+def bench_video_unet() -> dict:
+    """Faithful UNetSD_T2V (4.4B params) CFG denoise step at the ZeroScope
+    workload: 24 frames, 320x576 -> 40x72 latents, cond+uncond batched
+    (reference app.py:228-240). Reports MFU against the 86.1 TF/step
+    analytic count — single-chip peak is 2.29 steps/s, so the serving plan
+    for D/G shards the step over the mesh (distributed/video_sharding.py).
+
+    Zero-init weights (TPU op timing is data-independent; random init of a
+    4.4B tree takes minutes through the tunnel)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.models.diffusion import unet_sd_video as usv
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
+    cfg = usv.UNetSDVideoConfig.t2v()
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            abstract = jax.eval_shape(lambda k: usv.init_params(k, cfg),
+                                      jax.random.PRNGKey(0))
+    except RuntimeError:
+        abstract = jax.eval_shape(lambda k: usv.init_params(k, cfg),
+                                  jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda l: jnp.zeros(l.shape, jnp.bfloat16 if l.dtype == jnp.float32
+                            else l.dtype), abstract)
+    x0 = jnp.zeros((2, 24, 40, 72, 4), jnp.bfloat16)
+    ctx = jnp.zeros((2, 77, 1024), jnp.bfloat16)
+    nsteps = 3
+
+    @jax.jit
+    def steps(params, x, ctx):
+        def body(x, t):
+            eps = usv.forward(params, cfg, x, jnp.full((2,), t), ctx)
+            return (x - 0.01 * eps).astype(x.dtype), None
+        return jax.lax.scan(body, x, jnp.arange(nsteps, dtype=jnp.float32))[0]
+
+    np.asarray(steps(params, x0, ctx), dtype=np.float32)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(steps(params, x0, ctx), dtype=np.float32)
+        best = min(best, time.perf_counter() - t0)
+    per = (best - 0.033) / nsteps
+    flops = 86.1e12  # analytic conv+attention count for this plan
+    return {"video_unet_cfg_steps_per_s": round(1.0 / per, 2),
+            "video_unet_mfu": round(flops / per / V5E_BF16_FLOPS, 3)}
+
+
 def bench_sd_unet() -> dict:
     """SD v1.4 UNet CFG step rate at 512^2 latents (GLIGEN's 50-step PLMS
     workload, task_grounded_generation.py:252)."""
@@ -321,7 +375,8 @@ def main():
     extras["decode_roofline_tok_s"] = round(roof, 1)
     extras["decode_roofline_frac"] = round(toks / roof, 3)
     if os.environ.get("VITRON_BENCH_EXTRAS", "1") == "1" and used == "7b":
-        for fn in (bench_e2e_request, bench_seem_fps, bench_sd_unet):
+        for fn in (bench_e2e_request, bench_seem_fps, bench_sd_unet,
+                   bench_video_unet):
             try:
                 extras.update(fn())
             except Exception as e:

@@ -25,16 +25,34 @@ import numpy as np
 
 def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                groups: int = 32, eps: float = 1e-6) -> jax.Array:
-    """x: [..., H, W, C] (or [..., N, C]); normalize over spatial + group."""
-    orig_shape = x.shape
-    c = orig_shape[-1]
-    spatial = int(np.prod(orig_shape[1:-1]))
-    xg = x.reshape(orig_shape[0], spatial, groups, c // groups).astype(jnp.float32)
-    mu = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xg = (xg - mu) * jax.lax.rsqrt(var + eps)
-    x = xg.reshape(orig_shape).astype(x.dtype)
-    return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+    """x: [..., H, W, C] (or [..., N, C]); normalize over spatial + group.
+
+    Formulated as spatial reductions + a per-(sample, channel) affine so the
+    big tensor is NEVER reshaped: the old [B, HW, G, C/G] view split the
+    minor (lane) dimension into C/G=16 lanes, which pushed XLA's global
+    layout assignment batch-minor and slowed every neighboring op — the
+    reshape-free form is worth 1.05 -> 1.34 steps/s on the full video UNet
+    (docs/PERF.md round-3 video notes). Stats stay in f32 (E[x^2]-E[x]^2 on
+    f32 sums; inputs are bf16-scale activations, so the cancellation error
+    is ~1e-7 relative)."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    red = tuple(range(1, x.ndim - 1))
+    n = int(np.prod(x.shape[1:-1])) * (c // groups)
+    x32 = x.astype(jnp.float32)
+    s1 = jnp.sum(x32, red)                       # [B, C]
+    s2 = jnp.sum(x32 * x32, red)                 # [B, C]
+    g1 = s1.reshape(b, groups, c // groups).sum(-1)
+    g2 = s2.reshape(b, groups, c // groups).sum(-1)
+    mu = g1 / n
+    var = g2 / n - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    invc = jnp.repeat(inv, c // groups, axis=-1)  # [B, C]
+    muc = jnp.repeat(mu, c // groups, axis=-1)
+    a = invc * scale.astype(jnp.float32)
+    d = bias.astype(jnp.float32) - muc * a
+    bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    return (x32 * a.reshape(bshape) + d.reshape(bshape)).astype(x.dtype)
 
 
 def layer_norm(x, p, eps: float = 1e-5):

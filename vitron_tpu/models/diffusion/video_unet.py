@@ -66,23 +66,24 @@ class VideoUNetConfig:
 def temporal_conv_block(p, x):
     """x: [B, T, H, W, C]; 4x (GN -> SiLU -> temporal conv k3) with identity
     residual (util.py:1347-1392). Temporal conv == conv over T per pixel."""
-    b, t, h, w, c = x.shape
     identity = x
 
     def tconv(x, w_, b_):
-        # conv over T per pixel WITHOUT transposing F into the minor dims:
-        # [B, T, H*W, C] is a plain reshape of [B, T, H, W, C] and a k=(3,1)
-        # SAME conv over (T, HW) is exactly the per-pixel temporal conv.
-        # The old [(B H W), T, 1, C] form forced a full transpose per call
-        # (8 of them per res block incl. the inverse) — those transposes
-        # pushed XLA's global layout assignment into batch-minor layouts
-        # that slowed every neighboring op (see docs/PERF.md video notes).
-        y = x.reshape(b, t, h * w, x.shape[-1])
-        y = jax.lax.conv_general_dilated(
-            y, w_.astype(y.dtype), (1, 1), [(1, 1), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = y + b_.astype(y.dtype)
-        return y.reshape(b, t, h, w, -1)
+        # k=3 temporal conv as THREE frame-shifted matmuls: the only conv in
+        # the graph whose spatial dims were (T, HW) — expressing it as dots
+        # keeps the whole video UNet's op mix identical to the image UNet
+        # (NHWC convs + matmuls) so XLA's layout assignment stays row-major
+        # (954 -> 717 ms/step with the reduction groupnorm, docs/PERF.md).
+        # y[:, t] = x[:, t-1] @ w0 + x[:, t] @ w1 + x[:, t+1] @ w2, zero pad.
+        w0, w1, w2 = (w_[i, 0].astype(x.dtype) for i in range(3))
+        y = x @ w1
+        y0 = (x @ w0)[:, :-1]
+        y2 = (x @ w2)[:, 1:]
+        pad0 = [(0, 0)] * x.ndim
+        pad0[1] = (1, 0)
+        pad2 = [(0, 0)] * x.ndim
+        pad2[1] = (0, 1)
+        return y + jnp.pad(y0, pad0) + jnp.pad(y2, pad2) + b_.astype(x.dtype)
 
     def gn(x, s, bias):
         # torch GroupNorm on [b, c, t, h, w]: stats per group over (t, h, w);

@@ -118,12 +118,29 @@ def paged_decode_step(
     """One decode step over a ragged batch. The new token's K/V are returned
     per layer for the caller to scatter with write_tokens (keeping this
     function pure). Returns (logits [B, vocab], new_k, new_v [L, B, KV, D])."""
+    k_all, v_all = gather_kv(pool, table)
+    return decode_step_gathered(params, cfg, token_embeds, positions,
+                                k_all, v_all, lengths)
+
+
+def decode_step_gathered(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    token_embeds: jax.Array,      # [B, 1, H]
+    positions: jax.Array,         # [B, 1]
+    k_all: jax.Array,             # [L, B, T, KV, D] gathered history
+    v_all: jax.Array,
+    lengths: jax.Array,           # [B] (lengths INCLUDING the new token)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode step on PRE-GATHERED per-sequence KV. step_n gathers the block
+    table once per n-token chunk and carries the dense view through its scan
+    (the per-step gather re-read the whole history at 3x the mandatory
+    traffic, docs/PERF.md 'Interactive serving')."""
     b = token_embeds.shape[0]
     h = cfg.hidden_size
     x = token_embeds.astype(cfg.compute_dtype)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     scale = 1.0 / (cfg.head_dim ** 0.5)
-    k_all, v_all = gather_kv(pool, table)
     t = k_all.shape[2]
     key_pos = jnp.arange(t)[None, :]
     valid = key_pos < (lengths[:, None] - 1)   # existing tokens only
@@ -311,24 +328,35 @@ class PagedServer:
                 from vitron_tpu.kernels.quantization import promote_int4
 
                 params = promote_int4(params)
+                # gather the ragged histories ONCE for the whole chunk; the
+                # scan carries the dense view (same in-place update pattern
+                # as the benchmark scan path) and mirrors each new token
+                # into the pool so the block tables stay authoritative
+                pool0 = PagedPool(k=k_pool, v=v_pool, block_size=bs, free=[])
+                k_all, v_all = gather_kv(pool0, table)
+                row = jnp.arange(b)
 
                 def body(carry, _):
-                    k_pool, v_pool, lengths, token = carry
+                    k_pool, v_pool, k_all, v_all, lengths, token = carry
                     emb = jnp.take(params["embed"], token, axis=0)[:, None]
                     pos = lengths[:, None]
-                    pool = PagedPool(k=k_pool, v=v_pool, block_size=bs, free=[])
-                    logits, k_new, v_new = paged_decode_step(
-                        params, cfg, emb, pos, pool, table, lengths + 1)
-                    row = jnp.arange(b)
+                    logits, k_new, v_new = decode_step_gathered(
+                        params, cfg, emb, pos, k_all, v_all, lengths + 1)
+                    # dense-view append (attention input for later steps)
+                    k_all = k_all.at[:, row, lengths].set(k_new)
+                    v_all = v_all.at[:, row, lengths].set(v_new)
+                    # pool mirror (persistence across chunks)
                     wr_blocks = table[row, lengths // bs]
                     wr_offs = lengths % bs
                     k_pool = k_pool.at[:, wr_blocks, wr_offs].set(k_new)
                     v_pool = v_pool.at[:, wr_blocks, wr_offs].set(v_new)
                     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                    return (k_pool, v_pool, lengths + 1, nxt), nxt
+                    return (k_pool, v_pool, k_all, v_all, lengths + 1, nxt), nxt
 
-                (k_pool, v_pool, lengths, token), toks = jax.lax.scan(
-                    body, (k_pool, v_pool, lengths, last_token), None, length=n)
+                (k_pool, v_pool, k_all, v_all, lengths, token), toks = \
+                    jax.lax.scan(
+                        body, (k_pool, v_pool, k_all, v_all, lengths,
+                               last_token), None, length=n)
                 return k_pool, v_pool, lengths, token, toks.T  # [B, n]
 
             cached = self._chunk_fns.store(

@@ -106,32 +106,31 @@ class Generator:
 
                 cfg = self.cfg
                 params = promote_int4(params)
-                b = token.shape[0]
-                buf = jnp.zeros((b, chunk), jnp.int32)
                 eos = jnp.asarray(list(eos_ids) or [-1], jnp.int32)
 
-                def cond(st):
-                    i = st[0]
-                    done = st[5]
-                    return (i < jnp.minimum(chunk, limit)) & ~jnp.all(done)
-
-                def body(st):
-                    i, token, pos, cache, rng, done, buf = st
+                # lax.scan, NOT while_loop: the dynamic-trip-count loop cost
+                # ~1 ms/step of synchronization on the tunnel chip (measured
+                # r2, docs/PERF.md "Interactive serving"); the scan runs the
+                # full chunk and masks tokens past EOS/limit with -1 — same
+                # host-visible semantics, overshoot traded for pipelining
+                def body(carry, i):
+                    token, pos, cache, rng, done = carry
                     logits, cache = vitron_model.decode_step(
                         params, cfg, token, pos, cache)
                     rng, k = jax.random.split(rng)
                     nxt = sample_token(k, logits[:, -1], temperature, top_p,
                                        greedy)
-                    buf = jax.lax.dynamic_update_slice(
-                        buf, jnp.where(done, -1, nxt)[:, None].astype(jnp.int32),
-                        (0, i))
-                    done = done | jnp.any(nxt[:, None] == eos[None, :], axis=-1)
-                    return (i + 1, nxt[:, None], pos + 1, cache, rng, done, buf)
+                    emit = jnp.where(done | (i >= limit), -1,
+                                     nxt).astype(jnp.int32)
+                    done = done | (~done & (i < limit) &
+                                   jnp.any(nxt[:, None] == eos[None, :], -1))
+                    return (nxt[:, None], pos + 1, cache, rng, done), emit
 
-                i, token, pos, cache, rng, done, buf = jax.lax.while_loop(
-                    cond, body,
-                    (jnp.int32(0), token, pos, cache, rng, done, buf))
-                return token, pos, cache, done, buf, i
+                (token, pos, cache, rng, done), emits = jax.lax.scan(
+                    body, (token, pos, cache, rng, done),
+                    jnp.arange(chunk, dtype=jnp.int32))
+                n = jnp.minimum(jnp.int32(chunk), limit)
+                return token, pos, cache, done, emits.T, n
 
             self._chunk_fns[key] = jax.jit(_chunk, donate_argnums=(3,))
         return self._chunk_fns[key]
