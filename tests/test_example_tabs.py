@@ -268,3 +268,31 @@ def test_tab_image_to_video(tiny_cfg):
     out = sys_.chat(user, image=_rand_img(16, 16))
     assert out["status"] == "ok" and out["task"] == "image_to_video"
     assert out["video"].shape == (4, 16, 16, 3)
+
+
+def test_tab_audio_referred_segmentation_asr_hook(tiny_cfg):
+    """Raw audio routes through the installed ASR hook to a transcript, then
+    the decoder's AUDIO token group (interactive.py:105-109; the reference's
+    whisper load, demo_code/app.py:74-77)."""
+    raw = "<module>B</module> <instruction>target: </instruction>"
+    sys_ = VitronSystem(ScriptedEngine(tiny_cfg, raw))
+    params, scfg = _tiny_seem()
+    sys_.register_seem(params, scfg, SeemTok())
+    img = _rand_img(64, 48, seed=5)
+    wav = np.zeros(1600, np.float32)
+
+    # no hook installed -> clear error, not a crash
+    sys_.asr = None
+    out = sys_.chat("segment what I said", image=img, extra={"audio": wav})
+    assert out["status"] == "error" and "ASR" in out["error"]
+
+    class FakeASR:
+        def transcribe(self, audio):
+            assert audio is wav
+            return {"text": "the red car"}
+
+    sys_.asr = FakeASR()
+    out = sys_.chat("segment what I said", image=img, extra={"audio": wav})
+    assert out["status"] == "ok" and out["task"] == "image_segmentation"
+    assert out["transcript"] == "the red car"
+    assert out["mask"].shape == (64, 48)

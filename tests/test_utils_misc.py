@@ -109,3 +109,51 @@ def test_memory_plan_tracks_and_reports():
     with pytest.raises(MemoryError):
         plan.add("more", 1, strict=True)
     assert kv_cache_bytes(32, 1, 1024, 32, 128) == 2 * 32 * 1024 * 32 * 128 * 2
+
+
+def test_moderation_fail_open_and_flagging(monkeypatch):
+    """Reference semantics (vitron/utils.py:117-135): flagged comes from the
+    service response; ANY failure (or no API key) reads as not-flagged."""
+    from vitron_tpu.mm.moderation import violates_moderation
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    assert violates_moderation("anything") is False  # no key -> disabled
+
+    calls = {}
+
+    def fake_post(url, data, headers, timeout):
+        import json
+        calls["payload"] = json.loads(data)
+        return {"results": [{"flagged": True}]}
+
+    assert violates_moderation("bad\ntext", post=fake_post) is True
+    # newline stripped before sending, like the reference
+    assert calls["payload"] == {"input": "badtext"}
+
+    def boom(url, data, headers, timeout):
+        raise OSError("network down")
+
+    assert violates_moderation("text", post=boom) is False
+    assert violates_moderation(
+        "text", post=lambda *a: {"unexpected": 1}) is False
+
+
+def test_video_backend_selection(tmp_path):
+    """Explicit unknown backend raises the reference's NameError
+    (processing_video.py:67-69); explicit unavailable backend does not
+    silently fall through to another decoder."""
+    import pytest
+
+    from vitron_tpu.media.preprocess import load_video_frames
+
+    with pytest.raises(NameError):
+        load_video_frames("x.mp4", backend="nvdec")
+    try:
+        import pytorchvideo  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if not have:
+        with pytest.raises((ImportError, FileNotFoundError)):
+            load_video_frames(str(tmp_path / "missing.mp4"),
+                              backend="pytorchvideo")

@@ -105,13 +105,41 @@ def preprocess_video(
     return x
 
 
-def load_video_frames(path: str, num_frames: int = 8) -> np.ndarray:
+def load_video_frames(path: str, num_frames: int = 8,
+                      backend: str = "auto") -> np.ndarray:
     """Host-side decode: sample `num_frames` uniformly -> uint8 [T, H, W, 3].
 
-    Tries decord (reference default), then OpenCV, then imageio — the same
-    backend set the reference supports (processing_video.py:72-114).
+    backend="auto" tries decord (reference default), then OpenCV, then
+    pytorchvideo, then imageio — the backend set the reference supports
+    (processing_video.py:72-114, incl. its 'pytorchvideo' branch); a
+    specific name restricts to that backend (NameError on an unknown one,
+    matching the reference's error surface, processing_video.py:67-69).
     """
+    known = ("auto", "decord", "opencv", "pytorchvideo", "imageio")
+    if backend not in known:
+        raise NameError(
+            f"video_decode_backend should specify in {known[1:]}")
+
+    def want(name):
+        return backend in ("auto", name)
+
+    def _pytorchvideo():
+        # EncodedVideo full-clip decode + uniform temporal subsample
+        # (processing_video.py:72-86)
+        from pytorchvideo.data.encoded_video import EncodedVideo
+
+        video = EncodedVideo.from_path(path, decoder="decord",
+                                       decode_audio=False)
+        clip = video.get_clip(0, video.duration)["video"]  # [C, T, H, W]
+        arr = np.asarray(clip.permute(1, 2, 3, 0).numpy())
+        idx = uniform_frame_indices(arr.shape[0], num_frames)
+        return arr[idx].astype(np.uint8)
+
+    if backend == "pytorchvideo":
+        return _pytorchvideo()
     try:
+        if not want("decord"):
+            raise ImportError
         import decord
 
         vr = decord.VideoReader(path, num_threads=1)
@@ -120,6 +148,8 @@ def load_video_frames(path: str, num_frames: int = 8) -> np.ndarray:
     except ImportError:
         pass
     try:
+        if not want("opencv"):
+            raise ImportError
         import cv2
 
         cap = cv2.VideoCapture(path)
@@ -141,7 +171,14 @@ def load_video_frames(path: str, num_frames: int = 8) -> np.ndarray:
             return np.stack(frames[:num_frames])
     except ImportError:
         pass
+    if want("pytorchvideo"):
+        try:
+            return _pytorchvideo()
+        except ImportError:
+            pass
     try:
+        if not want("imageio"):
+            raise ImportError
         import imageio.v3 as iio
 
         frames = iio.imread(path, plugin="pyav")
@@ -149,7 +186,8 @@ def load_video_frames(path: str, num_frames: int = 8) -> np.ndarray:
         return np.stack([frames[i] for i in idx])
     except ImportError as e:
         raise RuntimeError(
-            "no video decode backend available (decord/cv2/imageio)") from e
+            "no video decode backend available "
+            "(decord/cv2/pytorchvideo/imageio)") from e
 
 
 def load_image(path: str) -> np.ndarray:

@@ -34,6 +34,12 @@ class VitronSystem:
 
         self.engine = engine
         self.registry = BackendRegistry()
+        # speech-to-text hook for audio-referred segmentation; None unless
+        # configured (upstream ships its whisper load disabled too,
+        # demo_code/app.py:76-77) — install any object with
+        # .transcribe(audio) -> {"text": str}
+        from vitron_tpu.media.asr import default_asr
+        self.asr = default_asr()
         # resident-weights placement ledger (the reference reloads backends
         # from disk per request instead, app.py:94-103)
         self.memory_plan = memory_plan or MemoryPlan()
@@ -147,6 +153,17 @@ class VitronSystem:
         def handle_b(req: TaskRequest) -> Dict[str, Any]:
             if req.image is None:
                 return {"status": "error", "error": "image_segmentation needs an image"}
+            if req.extra.get("audio") is not None and \
+                    not req.extra.get("audio_transcript"):
+                # raw audio (path or 16 kHz waveform) -> transcript via the
+                # installed ASR hook (reference interactive.py:105-109 runs
+                # whisper here; we keep it host-side + injectable)
+                if self.asr is None:
+                    return {"status": "error",
+                            "error": "audio input but no ASR hook installed "
+                                     "(set VITRON_WHISPER or system.asr)"}
+                req.extra["audio_transcript"] = \
+                    self.asr.transcribe(req.extra["audio"])["text"]
             if req.sketch_mask is not None:
                 stroke = np.asarray(
                     jax.image.resize(jnp.asarray(req.sketch_mask, jnp.float32),
@@ -172,6 +189,7 @@ class VitronSystem:
                                   jnp.asarray(ids), jnp.asarray(mask_tok))
                 up = np.asarray(seem_model.upsample_mask(mask, req.image.shape[:2]))
                 return {"mask": up,
+                        "transcript": req.extra["audio_transcript"],
                         "overlay": _annotated(req.image, up,
                                               req.extra["audio_transcript"])}
             phrase = ((req.instructions or [req.text or ""])[0] or "").strip()
