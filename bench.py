@@ -48,21 +48,25 @@ def run(preset: str, prefill: int, n_new: int, quant: str = ""):
         # generate quantized weights directly: converting a resident bf16 7B
         # would need bf16+int8 copies simultaneously (>16 GB HBM)
         def init_q(key):
-            p = llama.init_params(key, cfg)
-            layers = dict(p["layers"])
-            for t in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
-                w = layers[t]
-                kk = jax.random.fold_in(key, hash(t) % 1000)
+            def qw(kk, w):
                 if quant == "int8":
                     q = jax.random.randint(kk, w.shape, -127, 128, jnp.int8)
                     s = jnp.full(w.shape[:-2] + (1, w.shape[-1]), 1e-2, jnp.float32)
-                    layers[t] = {"q": q, "s": s}
-                else:
-                    packed = w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1])
-                    q4 = jax.random.randint(kk, packed, -128, 128, jnp.int8)
-                    s = jnp.full(w.shape[:-2] + (1, w.shape[-1]), 2e-2, jnp.float32)
-                    layers[t] = {"q4": q4, "s": s}
-            return {**p, "layers": layers}
+                    return {"q": q, "s": s}
+                packed = w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1])
+                q4 = jax.random.randint(kk, packed, -128, 128, jnp.int8)
+                s = jnp.full(w.shape[:-2] + (1, w.shape[-1]), 2e-2, jnp.float32)
+                return {"q4": q4, "s": s}
+
+            p = llama.init_params(key, cfg)
+            layers = dict(p["layers"])
+            for t in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+                layers[t] = qw(jax.random.fold_in(key, hash(t) % 1000),
+                               layers[t])
+            # lm_head quantized too (serving default; 0.37 -> ~0.1 ms/tok,
+            # docs/PERF.md decode attribution)
+            return {**p, "layers": layers,
+                    "lm_head": qw(jax.random.fold_in(key, 7), p["lm_head"])}
 
         params = jax.jit(init_q)(jax.random.PRNGKey(0))
     else:
@@ -136,17 +140,19 @@ def bench_e2e_request(quant: str = "int4") -> dict:
     cfg = vitron_model.VitronConfig.serving(llm=llm_cfg)
 
     def init(key):
+        def qw(kk, w):
+            packed = w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1])
+            return {"q4": jax.random.randint(kk, packed, -128, 128, jnp.int8),
+                    "s": jnp.full(w.shape[:-2] + (1, w.shape[-1]), 2e-2,
+                                  jnp.float32)}
+
         p = vitron_model.init_params(key, cfg)
         llm = dict(p["llm"])
         layers = dict(llm["layers"])
         for t in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
-            w = layers[t]
-            kk = jax.random.fold_in(key, hash(t) % 1000)
-            packed = w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1])
-            layers[t] = {"q4": jax.random.randint(kk, packed, -128, 128, jnp.int8),
-                         "s": jnp.full(w.shape[:-2] + (1, w.shape[-1]), 2e-2,
-                                       jnp.float32)}
+            layers[t] = qw(jax.random.fold_in(key, hash(t) % 1000), layers[t])
         llm["layers"] = layers
+        llm["lm_head"] = qw(jax.random.fold_in(key, 7), llm["lm_head"])
         return {**p, "llm": llm}
 
     params = jax.jit(init)(jax.random.PRNGKey(0))
@@ -330,9 +336,10 @@ def decode_roofline_tok_s(preset: str, quant: str, avg_ctx: int) -> float:
     kvd = d["num_kv_heads"] * (h // d["num_heads"])
     matmul_elems = L * (2 * h * h + 2 * h * kvd + 3 * h * f)
     wbytes = {"int4": 0.5, "int8": 1.0, "": 2.0}[quant]
-    weight_bytes = matmul_elems * wbytes + 2 * v * h * 2  # embed+lm_head bf16
+    # lm_head is quantized with the layers (embed is a row gather: ~free)
+    weight_bytes = matmul_elems * wbytes + v * h * wbytes
     if quant:  # per-output-channel f32 scales
-        weight_bytes += L * (4 * h + 3 * f) * 4
+        weight_bytes += (L * (4 * h + 3 * f) + v) * 4
     kv_bytes = L * 2 * avg_ctx * kvd * 2
     return V5E_HBM_BYTES_S / (weight_bytes + kv_bytes)
 

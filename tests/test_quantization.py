@@ -135,3 +135,39 @@ def test_generate_scan_int4_promotes():
         params, arrays, jax.random.PRNGKey(0))
     assert toks.shape == (1, 4)
     assert bool(jnp.isfinite(toks.astype(jnp.float32)).all())
+
+
+def test_quantized_lm_head():
+    """head=True quantizes lm_head and the forward dispatches it through
+    matmul_maybe_quantized (serving default; docs/PERF.md attribution)."""
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, cfg.vocab_size)
+    pos = jnp.arange(12)[None]
+    ref, _ = llama.forward_tokens(params, cfg, ids, positions=pos)
+    q8 = quantize_llama(params, bits=8, head=True)
+    assert isinstance(q8["lm_head"], dict)
+    got, _ = llama.forward_tokens(q8, cfg, ids, positions=pos)
+    agree = jnp.mean((jnp.argmax(ref, -1) == jnp.argmax(got, -1))
+                     .astype(jnp.float32))
+    assert float(agree) >= 0.75, float(agree)
+    # int4 head: the dict dispatch must equal running the dequantized dense
+    # head (tiny random logits are near-tied, so argmax-agreement vs the
+    # unquantized ref is not a meaningful bar at this scale)
+    from vitron_tpu.kernels.quantization import dequantize
+
+    q4 = quantize_llama(params, bits=4, head=True)
+    got4, _ = llama.forward_tokens(q4, cfg, ids, positions=pos)
+    deq = {**q4, "lm_head": dequantize(q4["lm_head"]).astype(jnp.float32)}
+    want4, _ = llama.forward_tokens(deq, cfg, ids, positions=pos)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(want4),
+                               rtol=2e-2, atol=2e-2)
+
+    # host path quantizes the head by default (production loader)
+    from vitron_tpu.models.llm.loader import quantize_host
+
+    host = quantize_host(jax.tree.map(np.asarray, params), bits=8)
+    assert isinstance(host["lm_head"], dict) and "q" in host["lm_head"]
+    hostn = quantize_host(jax.tree.map(np.asarray, params), bits=8,
+                          head=False)
+    assert not isinstance(hostn["lm_head"], dict)

@@ -146,12 +146,20 @@ def _quantized_dot(x: jax.Array, q: jax.Array) -> jax.Array:
 
 
 def quantize_llama(params: Dict[str, Any], bits: int = 8,
-                   targets=("wq", "wk", "wv", "wo", "gate", "up", "down")) -> Dict[str, Any]:
-    """Quantize the projection matrices of a llama param tree (embed/lm_head
-    and norms stay bf16: together <3% of weights for 7B)."""
+                   targets=("wq", "wk", "wv", "wo", "gate", "up", "down"),
+    head: bool = False) -> Dict[str, Any]:
+    """Quantize the projection matrices of a llama param tree (embed and
+    norms stay bf16; the embed read is a row gather so quantizing it buys
+    nothing). head=True also quantizes lm_head — its bf16 read is 8% of a
+    7B int4 decode step's HBM traffic (docs/PERF.md decode attribution);
+    serving enables it, training keeps the head full-precision for loss
+    fidelity (QLoRA convention)."""
     fn = quantize_int8 if bits == 8 else quantize_int4
     layers = dict(params["layers"])
     for t in targets:
         if t in layers:
             layers[t] = fn(layers[t])
-    return {**params, "layers": layers}
+    out = {**params, "layers": layers}
+    if head and "lm_head" in out:
+        out["lm_head"] = fn(out["lm_head"])
+    return out

@@ -321,7 +321,10 @@ def forward(
         new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s, valid=new_valid)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    # _mm so a quantized lm_head ({"q"/"q4","s"}) works: the bf16 head is
+    # 262 MB — 8% of a 7B int4 decode step's HBM traffic, measured 0.37
+    # ms/tok (docs/PERF.md decode attribution)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     if return_hidden:
         return logits, new_cache, x
     return logits, new_cache

@@ -146,29 +146,37 @@ def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
     return {k: _np(v) for k, v in sd.items()}
 
 
+def _quantize_host_one(w: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
+    w = np.asarray(w, np.float32)
+    amax = np.maximum(np.abs(w).max(axis=-2, keepdims=True), 1e-8)
+    if bits == 8:
+        s = amax / 127.0
+        q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        return {"q": q, "s": s.astype(np.float32)}
+    s = amax / 7.0
+    q = np.clip(np.round(w / s), -7, 7).astype(np.int8)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = ((hi.astype(np.uint8) & 0xF) << 4 | (lo.astype(np.uint8) & 0xF)).astype(np.int8)
+    return {"q4": packed, "s": s.astype(np.float32)}
+
+
 def quantize_host(params: Dict[str, Any], bits: int = 8,
-                  targets=("wq", "wk", "wv", "wo", "gate", "up", "down")) -> Dict[str, Any]:
+                  targets=("wq", "wk", "wv", "wo", "gate", "up", "down"),
+                  head: bool = True) -> Dict[str, Any]:
     """Host-side (numpy) weight-only quantization — the production path for
     full-size models: converting on device needs the bf16 and int8 copies
-    resident simultaneously (> one v5e chip's HBM for 7B)."""
+    resident simultaneously (> one v5e chip's HBM for 7B). head=True also
+    quantizes lm_head — its bf16 read is 8% of a 7B int4 decode step's HBM
+    traffic, worth ~3% decode throughput (docs/PERF.md attribution)."""
     layers = dict(params["layers"])
     for t in targets:
-        if t not in layers:
-            continue
-        w = np.asarray(layers[t], np.float32)
-        amax = np.maximum(np.abs(w).max(axis=-2, keepdims=True), 1e-8)
-        if bits == 8:
-            s = amax / 127.0
-            q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
-            layers[t] = {"q": q, "s": s.astype(np.float32)}
-        else:
-            s = amax / 7.0
-            q = np.clip(np.round(w / s), -7, 7).astype(np.int8)
-            lo = q[..., 0::2, :]
-            hi = q[..., 1::2, :]
-            packed = ((hi.astype(np.uint8) & 0xF) << 4 | (lo.astype(np.uint8) & 0xF)).astype(np.int8)
-            layers[t] = {"q4": packed, "s": s.astype(np.float32)}
-    return {**params, "layers": layers}
+        if t in layers:
+            layers[t] = _quantize_host_one(layers[t], bits)
+    out = {**params, "layers": layers}
+    if head and "lm_head" in out:
+        out["lm_head"] = _quantize_host_one(out["lm_head"], bits)
+    return out
 
 
 def load_pretrained_llama(
