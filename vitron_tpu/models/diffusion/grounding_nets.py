@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vitron_tpu.kernels.depthwise_conv import depthwise_conv2d
 from vitron_tpu.models.diffusion.layers import (
     _np,
     conv2d,
@@ -61,12 +62,8 @@ def convnext_forward(params: Dict[str, Any], x: jax.Array) -> jax.Array:
             x = conv2d(x, ds["conv_w"], ds["conv_b"], stride=2)
         for blk in stage:
             inp = x
-            # depthwise 7x7
-            h = jax.lax.conv_general_dilated(
-                x, blk["dw_w"].astype(x.dtype), (1, 1), [(3, 3), (3, 3)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=x.shape[-1])
-            h = h + blk["dw_b"].astype(h.dtype)
+            # depthwise 7x7 (read-once Pallas kernel on TPU)
+            h = depthwise_conv2d(x, blk["dw_w"].astype(x.dtype), blk["dw_b"])
             h = _ln(h, blk["norm_w"], blk["norm_b"])
             h = jax.nn.gelu(h @ blk["pw1_w"] + blk["pw1_b"], approximate=False)
             h = h @ blk["pw2_w"] + blk["pw2_b"]

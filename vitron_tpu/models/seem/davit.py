@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vitron_tpu.kernels.depthwise_conv import depthwise_conv2d
 from vitron_tpu.models.seem.pixel_decoder import _ln
 from vitron_tpu.models.seem.swin import window_partition, window_reverse
 
@@ -51,6 +52,10 @@ def _conv(x, w, b=None, stride=1, padding=0, groups=1):
     if w.shape[0] == w.shape[1] == 1 and stride == 1 and padding == 0 and groups == 1:
         out = x @ w[0, 0].astype(x.dtype)
         return out if b is None else out + b.astype(out.dtype)
+    # full depthwise (conv pos-encodings): read-once Pallas kernel
+    if (groups == x.shape[-1] and stride == 1 and w.shape[0] == w.shape[1]
+            and w.shape[0] % 2 == 1 and padding == w.shape[0] // 2):
+        return depthwise_conv2d(x, w, b)
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride),
         [(padding, padding), (padding, padding)],
