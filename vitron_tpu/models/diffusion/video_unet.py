@@ -21,12 +21,14 @@ weights can seed a video model.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vitron_tpu.kernels.temporal_conv import temporal_conv_k3
 from vitron_tpu.models.diffusion import unet2d
 from vitron_tpu.models.diffusion.layers import conv2d, group_norm, timestep_embedding
 from vitron_tpu.models.diffusion.unet2d import UNetConfig, block_plan
@@ -75,6 +77,8 @@ def temporal_conv_block(p, x):
         # (NHWC convs + matmuls) so XLA's layout assignment stays row-major
         # (954 -> 717 ms/step with the reduction groupnorm, docs/PERF.md).
         # y[:, t] = x[:, t-1] @ w0 + x[:, t] @ w1 + x[:, t+1] @ w2, zero pad.
+        if os.environ.get("VITRON_TCONV", "xla") == "pallas":
+            return temporal_conv_k3(x, w_.astype(x.dtype), b_)
         w0, w1, w2 = (w_[i, 0].astype(x.dtype) for i in range(3))
         y = x @ w1
         y0 = (x @ w0)[:, :-1]
