@@ -449,3 +449,23 @@ def test_audio_group_isolated_from_grounding(tiny_seem):
                                         jnp.asarray(ids), jnp.asarray(m))
     assert a_mask.shape == t_mask.shape
     assert bool(jnp.isfinite(a_mask).all())
+
+
+def test_bf16_towers_agree(tiny_seem):
+    """compute_dtype="bfloat16" (serving towers) must produce masks that
+    threshold-agree with the f32 path on the tiny config."""
+    cfg, params = tiny_seem
+    import dataclasses as _dc
+    cfg16 = _dc.replace(cfg, compute_dtype="bfloat16")
+    p16 = seem_model.cast_tower_params(params)
+    img = np.random.RandomState(1).randint(0, 255, (64, 64, 3), np.uint8)
+    tok = _StubTokenizer()(["a thing"], max_length=cfg.lang.context_length)
+    m32, _ = seem_model.segment_text(
+        params, cfg, jnp.asarray(img), jnp.asarray(tok["input_ids"]),
+        jnp.asarray(tok["attention_mask"]))
+    m16, _ = seem_model.segment_text(
+        p16, cfg16, jnp.asarray(img), jnp.asarray(tok["input_ids"]),
+        jnp.asarray(tok["attention_mask"]))
+    assert m16.dtype == m32.dtype == jnp.float32
+    agree = float(jnp.mean((m16 > 0) == (m32 > 0)))
+    assert agree >= 0.97, agree

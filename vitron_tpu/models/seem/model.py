@@ -42,6 +42,9 @@ class SeemConfig:
         default_factory=dec.SeemDecoderConfig)
     lang: language.LangConfig = dataclasses.field(default_factory=language.LangConfig)
     input_size: int = 512
+    # Serving knob: "bfloat16" runs the backbone + pixel decoder in bf16
+    # (decoder/language stay f32); mask outputs are argmax/threshold-robust.
+    compute_dtype: str = "float32"
 
     @staticmethod
     def tiny(**kw) -> "SeemConfig":
@@ -66,6 +69,18 @@ def init_params(rng: jax.Array, cfg: SeemConfig) -> Dict[str, Any]:
     }
 
 
+def cast_tower_params(params: Dict[str, Any],
+                      dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Cast the backbone + pixel-decoder float weights for bf16 serving
+    (halves their HBM reads); decoder/language params are left f32 to keep
+    the query/grounding math at reference precision."""
+    def cast(t):
+        return jax.tree.map(
+            lambda l: l.astype(dtype) if l.dtype == jnp.float32 else l, t)
+    return {**params, "backbone": cast(params["backbone"]),
+            "pixel": cast(params["pixel"])}
+
+
 def normalize_pixels(image: jax.Array) -> jax.Array:
     """uint8 [H, W, 3] RGB -> normalized float (seem_model.py:260-261)."""
     mean = jnp.asarray(PIXEL_MEAN, jnp.float32)
@@ -75,10 +90,13 @@ def normalize_pixels(image: jax.Array) -> jax.Array:
 
 def encode_image(params, cfg: SeemConfig, image: jax.Array):
     """image: [H, W, 3] uint8 -> (mask_features, multi_scale, srcs_2d)."""
-    x = normalize_pixels(image)[None]
+    x = normalize_pixels(image)[None].astype(jnp.dtype(cfg.compute_dtype))
     feats = focalnet.forward(params["backbone"], cfg.backbone, x)
     mask_features, multi_scale = pixel_decoder.forward_features(
         params["pixel"], cfg.pixel, feats)
+    if cfg.compute_dtype != "float32":
+        mask_features = mask_features.astype(jnp.float32)
+        multi_scale = [m.astype(jnp.float32) for m in multi_scale]
     # per-level 2D views for spatial-token point sampling (seem.py:440-443)
     srcs_2d = [m[0] for m in multi_scale]
     return mask_features, multi_scale, srcs_2d

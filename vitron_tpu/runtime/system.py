@@ -54,15 +54,26 @@ class VitronSystem:
 
     # ------------------------------------------------------- registration
 
-    def register_seem(self, seem_params, seem_cfg, tokenizer):
+    def register_seem(self, seem_params, seem_cfg, tokenizer,
+                      compute_dtype: str = "float32"):
         """B image_segmentation, E video_tracking, and the mask half of
-        C image_editing (app.py:114-155,158-212,243-273)."""
+        C image_editing (app.py:114-155,158-212,243-273).
+
+        compute_dtype="bfloat16" serves the backbone + pixel decoder in
+        bf16 (weights cast once here; decoder/language stay f32)."""
+        import dataclasses as _dc
+
         import jax
         import jax.numpy as jnp
 
         from vitron_tpu.models.seem import decoder as seem_dec
         from vitron_tpu.models.seem import language as seem_lang
         from vitron_tpu.models.seem import model as seem_model
+
+        if compute_dtype != "float32":
+            seem_cfg = _dc.replace(seem_cfg, compute_dtype=compute_dtype)
+            seem_params = seem_model.cast_tower_params(
+                seem_params, jnp.dtype(compute_dtype))
 
         # jitted per-task programs (params as traced args, cfg static): the
         # bare model functions run EAGERLY otherwise, and on the
