@@ -14,6 +14,7 @@ scheduler anneals over sampling steps (task_grounded_generation.py:23-55).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -103,6 +104,27 @@ def fourier_embed(x: jax.Array, num_freqs: int = 8, temperature: float = 100.0) 
 
 # ---------------------------------------------------------------- attention
 
+def _flash_blocks(n: int, m: int) -> tuple:
+    """Pick (block_q, block_k) for an n x m attention site. block_q: the
+    largest multiple-of-8 divisor of n up to 512 (zero q padding when one
+    exists); block_k: 512 when m divides cleanly, else 128 so the padded
+    final k block wastes < one 128-lane tile (720 -> 768, not 1024)."""
+    # no divisor (e.g. n=180): one q block padded to the next multiple of 8
+    bq = min(512, -(-n // 8) * 8)
+    for d in range(min(512, n), 7, -1):
+        if d % 8 == 0 and n % d == 0:
+            bq = d
+            break
+    bk = 512 if m % 512 == 0 else 128
+    return bq, bk
+
+
+# Spatial self-attention below this many tokens stays on the XLA einsum
+# path: at 720 tokens (video UNet) flash + padding measured slower e2e with
+# 512-blocks; tuned blocks are routable via VITRON_FLASH_MIN for A/B.
+_FLASH_MIN = int(os.environ.get("VITRON_FLASH_MIN", "1024"))
+
+
 def _mha(q, k, v, heads: int, scale: float) -> jax.Array:
     """q: [B, N, H*C]; k/v: [B, M, H*C] -> [B, N, H*C], fp32 softmax.
 
@@ -116,8 +138,9 @@ def _mha(q, k, v, heads: int, scale: float) -> jax.Array:
     q = q.reshape(b, n, heads, c)
     k = k.reshape(b, m, heads, c)
     v = v.reshape(b, m, heads, c)
-    if n >= 1024 and m >= 1024 and jax.default_backend() == "tpu":
+    if n >= _FLASH_MIN and m >= _FLASH_MIN and jax.default_backend() == "tpu":
         from vitron_tpu.kernels.flash_attention import flash_attention
+        bq, bk = _flash_blocks(n, m)
 
         # bf16 operands: the kernel is VPU-bound on the fp32 online softmax
         # at these head dims (40-160), so halving the MXU/HBM side is free
@@ -127,7 +150,8 @@ def _mha(q, k, v, heads: int, scale: float) -> jax.Array:
         # ~1.9x on the kernel
         out = flash_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
                               v.astype(jnp.bfloat16), scale=float(scale),
-                              causal=False, softmax_shift=0.0)
+                              causal=False, softmax_shift=0.0,
+                              block_q=bq, block_k=bk)
         return out.astype(v.dtype).reshape(b, n, hc)
     sim = jnp.einsum("bnhc,bmhc->bhnm", q, k).astype(jnp.float32) * scale
     attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
