@@ -97,3 +97,42 @@ def test_stats_reports_memory_plan(server):
     assert data["fits"] is True
     assert "llm+towers" in data["entries"]
     assert "budget" in data["report"]
+
+
+def _b64_png(arr):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_ui_page_and_fetch_contract(server):
+    """The browser UI's exact payload shapes (serve.py send()): the page
+    must expose every element id the JS references, and /chat must accept
+    text-only, region-box (float coords from scaleBox), and sketch
+    (white-on-black PNG from maskB64) bodies."""
+    with urllib.request.urlopen(_url(server, "/")) as r:
+        html = r.read().decode()
+    for el in ("log", "prompt", "image", "media", "greedy", "pad"):
+        assert f'id="{el}"' in html, el
+    assert "<canvas" in html and "async function send" in html
+
+    img = np.random.RandomState(0).randint(0, 255, (48, 40, 3), np.uint8)
+    sketch = np.zeros((48, 40, 3), np.uint8)
+    sketch[10:30, 8:25] = 255
+    bodies = [
+        {"prompt": "hello", "greedy": True},
+        {"prompt": "this region?", "greedy": True, "image": _b64_png(img),
+         "region": [4.5, 5.2, 30.9, 35.1]},
+        {"prompt": "segment my circle", "greedy": True,
+         "image": _b64_png(img), "sketch": _b64_png(sketch)},
+    ]
+    for body in bodies:
+        req = urllib.request.Request(
+            _url(server, "/chat"), data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.loads(r.read())
+        assert out.get("status") in ("chat", "ok", "error"), out
+        assert "error" not in out or not out["error"], out
