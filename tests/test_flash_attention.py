@@ -189,21 +189,26 @@ def test_static_shift_softmax():
 
 
 def test_nonpower_blocks_720_geometry():
-    """The video UNet's 720-token spatial sites use non-power-of-two q blocks
-    (block_q=240) with a padded final k block (720 -> 768 at block_k=128).
-    Same geometry scaled 1/10: s=72, block_q=24, block_k=16 (72 -> 80 pad),
-    non-causal + static-shift softmax — the exact serving configuration."""
-    b, s, n, d = 2, 72, 3, 16
+    """The video UNet's 720-token spatial sites use the exact blocks
+    _flash_blocks picks: non-power-of-two block_q=360 (720/2, zero q
+    padding) with a padded final k block (720 -> 768 at block_k=128),
+    non-causal + static-shift softmax — the serving configuration, at the
+    real sequence length (1 head, small d, interpret mode)."""
+    from vitron_tpu.models.diffusion.layers import _flash_blocks
+
+    bq, bk = _flash_blocks(720, 720)
+    assert (bq, bk) == (360, 128)
+    b, s, n, d = 1, 720, 1, 8
     q = _rand((b, s, n, d), 30) * 0.3
     k = _rand((b, s, n, d), 31) * 0.3
     v = _rand((b, s, n, d), 32) * 0.3
     want = reference_attention(q, k, v, causal=False)
     got = flash_attention(q, k, v, causal=False, softmax_shift=0.0,
-                          block_q=24, block_k=16, interpret=True)
+                          block_q=bq, block_k=bk, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
     # single padded k block (block_k >= t): one-pass, no online accumulation
     got1 = flash_attention(q, k, v, causal=False, softmax_shift=0.0,
-                           block_q=24, block_k=80, interpret=True)
+                           block_q=bq, block_k=768, interpret=True)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want),
                                rtol=2e-5, atol=2e-5)

@@ -81,7 +81,6 @@ def test_loss_descends_and_freeze_respected(tiny):
 
     # frozen leaves identical; at least one trainable leaf moved
     mask = gt.trainable_mask(params, tcfg)
-    moved = frozen_ok = True
     deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                           params, state["params"])
     flat_mask = jax.tree.leaves(mask)
@@ -102,3 +101,14 @@ def test_grounding_drop_is_whole_null(tiny):
     state = init_state(params)
     state, loss = jax.jit(step)(state, _batch(cfg), jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_input_conv_train_marks_widened_first_conv():
+    """The inpainting variant additionally trains the widened 9-channel
+    first conv, params["input_blocks"][0][0] (trainer.py:232-236)."""
+    cfg = unet2d.UNetConfig.tiny(in_channels=9)
+    params = unet2d.init_params(jax.random.PRNGKey(0), cfg, grounding=True)
+    on = gt.trainable_mask(params, gt.GligenTrainConfig(input_conv_train=True))
+    off = gt.trainable_mask(params, gt.GligenTrainConfig())
+    assert all(on["input_blocks"][0][0].values())
+    assert not any(off["input_blocks"][0][0].values())

@@ -107,8 +107,9 @@ def fourier_embed(x: jax.Array, num_freqs: int = 8, temperature: float = 100.0) 
 def _flash_blocks(n: int, m: int) -> tuple:
     """Pick (block_q, block_k) for an n x m attention site. block_q: the
     largest multiple-of-8 divisor of n up to 512 (zero q padding when one
-    exists); block_k: 512 when m divides cleanly, else 128 so the padded
-    final k block wastes < one 128-lane tile (720 -> 768, not 1024)."""
+    exists — 720 -> 360, 2880 -> 480); block_k: 512 when m divides cleanly,
+    else 128 so the padded final k block wastes < one 128-lane tile
+    (720 -> 768, not 1024)."""
     # no divisor (e.g. n=180): one q block padded to the next multiple of 8
     bq = min(512, -(-n // 8) * 8)
     for d in range(min(512, n), 7, -1):
@@ -119,10 +120,13 @@ def _flash_blocks(n: int, m: int) -> tuple:
     return bq, bk
 
 
-# Spatial self-attention below this many tokens stays on the XLA einsum
-# path: at 720 tokens (video UNet) flash + padding measured slower e2e with
-# 512-blocks; tuned blocks are routable via VITRON_FLASH_MIN for A/B.
-_FLASH_MIN = int(os.environ.get("VITRON_FLASH_MIN", "1024"))
+def _flash_min() -> int:
+    """Spatial self-attention below this many tokens stays on the XLA einsum
+    path: at 720 tokens (video UNet) flash + padding measured slower e2e
+    with 512-blocks; tuned blocks are routable via VITRON_FLASH_MIN for
+    A/B. Read per trace (not at import) so setting the env var after the
+    package is imported still takes effect."""
+    return int(os.environ.get("VITRON_FLASH_MIN", "1024"))
 
 
 def _mha(q, k, v, heads: int, scale: float) -> jax.Array:
@@ -138,7 +142,8 @@ def _mha(q, k, v, heads: int, scale: float) -> jax.Array:
     q = q.reshape(b, n, heads, c)
     k = k.reshape(b, m, heads, c)
     v = v.reshape(b, m, heads, c)
-    if n >= _FLASH_MIN and m >= _FLASH_MIN and jax.default_backend() == "tpu":
+    fmin = _flash_min()
+    if n >= fmin and m >= fmin and jax.default_backend() == "tpu":
         from vitron_tpu.kernels.flash_attention import flash_attention
         bq, bk = _flash_blocks(n, m)
 

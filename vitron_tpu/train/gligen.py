@@ -19,7 +19,7 @@ exactly like the reference's requires_grad split).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,11 +42,19 @@ class GligenTrainConfig:
 
 
 def _is_trainable(path, input_conv_train: bool) -> bool:
-    keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    keys = []
+    for p in path:
+        if hasattr(p, "key"):
+            keys.append(p.key)
+        elif hasattr(p, "idx"):
+            keys.append(p.idx)
+        else:
+            keys.append(str(p))
     if "fuser" in keys or "position_net" in keys or "downsample_net" in keys:
         return True
-    if input_conv_train and "conv_in_w" in keys:
-        # the inpainting UNet's widened first conv (trainer.py:232-236)
+    if input_conv_train and keys[:3] == ["input_blocks", 0, 0]:
+        # the inpainting UNet's widened first conv lives at
+        # params["input_blocks"][0][0]{w,b} (trainer.py:232-236)
         return True
     return False
 
@@ -116,7 +124,7 @@ def make_gligen_train_step(unet_cfg: unet2d.UNetConfig,
                              mean_type="eps", loss_type="mse")
         return jnp.mean(per) * tcfg.l_simple_weight
 
-    opt = optimizer if optimizer is not None else None
+    opt = optimizer
 
     def step(state, batch, rng):
         params, opt_state = state["params"], state["opt_state"]
