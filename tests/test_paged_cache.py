@@ -160,3 +160,19 @@ def test_pool_exhaustion_raises(tiny):
     srv = PagedServer(params, cfg, num_blocks=2, block_size=4)
     with pytest.raises(RuntimeError, match="exhausted"):
         srv.add_request(list(range(1, 20)))
+
+
+def test_paged_decode_with_quantized_head(tiny):
+    """The serving default quantizes lm_head too (loader.py head=True);
+    the paged decode path must accept the {"q4","s"} head dict like
+    llama.forward does — regression for the plain-@ crash."""
+    from vitron_tpu.kernels.quantization import quantize_llama
+
+    cfg, params = tiny
+    qp = quantize_llama(params, bits=4, head=True)
+    assert isinstance(qp["lm_head"], dict)
+    srv = PagedServer(qp, cfg, num_blocks=32, block_size=4)
+    sid = srv.add_request([5, 17, 3, 99, 42])
+    out = srv.step_n(4)
+    assert len(out[sid]) == 4
+    assert all(isinstance(t, int) for t in out[sid])

@@ -108,6 +108,10 @@ document.getElementById('image').addEventListener('change',e=>{
       ctx=pad.getContext('2d');clearPad();};};
   fr.readAsDataURL(f);});
 function mode(){return document.querySelector('input[name=mode]:checked').value;}
+// switching draw mode resets stale state: a leftover stroke flag would
+// otherwise send the box outline as a sketch mask (and vice versa)
+document.querySelectorAll('input[name=mode]').forEach(r=>
+  r.addEventListener('change',clearPad));
 function pos(e){const r=pad.getBoundingClientRect();
   return [e.clientX-r.left,e.clientY-r.top];}
 pad.addEventListener('mousedown',e=>{drawing=true;const [x,y]=pos(e);

@@ -34,6 +34,7 @@ einsums (training-path only, cold).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -138,11 +139,14 @@ def temporal_conv_k3(x: jax.Array, w: jax.Array, bias=None, *,
                      use_pallas: bool | None = None) -> jax.Array:
     """Frame-axis k=3 SAME conv: x [B, F, ..., C], w [3, C, Co] (or the
     torch-layout [3, 1, C, Co]), bias [Co]. Middle dims are flattened for
-    the kernel and restored. Pallas on TPU, XLA dots elsewhere."""
+    the kernel and restored. Default = the XLA shift-matmul path (it wins
+    or ties at every measured site, module docstring); the Pallas kernel
+    is the tested record behind VITRON_TCONV=pallas."""
     if w.ndim == 4:
         w = w[:, 0]
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = (os.environ.get("VITRON_TCONV", "xla") == "pallas"
+                      and jax.default_backend() not in ("cpu",))
     shape = x.shape
     b, f, c = shape[0], shape[1], shape[-1]
     n = 1

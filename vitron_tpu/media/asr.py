@@ -28,8 +28,10 @@ def load_audio(path: str, sr: int = WHISPER_SR) -> np.ndarray:
 
         data, file_sr = sf.read(path, dtype="float32", always_2d=True)
         wav = data.mean(axis=1)
-    except ImportError:
-        # fall back to ffmpeg (same dependency whisper itself uses)
+    except Exception:
+        # fall back to ffmpeg (same dependency whisper itself uses) — on
+        # soundfile missing OR failing to decode the container (e.g. mp3 on
+        # libsndfile builds without mp3 support raises LibsndfileError)
         import subprocess
 
         out = subprocess.run(

@@ -224,7 +224,11 @@ def draw_panoptic(image: np.ndarray, panoptic: np.ndarray,
     scores = None if any(s is None for s in scores) else scores
     names = ([_strip(class_names[c]) if c < len(class_names) else str(c)
               for c in cats] if class_names else None)
-    texts = _create_text_labels(list(range(len(cats))), scores, names) or []
+    # `names` is positional (aligned with cats), so index it by position;
+    # with class_names=None label by the REAL category id, not the
+    # segment's position in the things list
+    texts = _create_text_labels(
+        list(range(len(cats))) if names else cats, scores, names) or []
     for seg, cat, text in zip(things, cats, texts or [None] * len(things)):
         out = draw_binary_mask(out, panoptic == field(seg, "id"),
                                color=COLORS[cat % len(COLORS)],

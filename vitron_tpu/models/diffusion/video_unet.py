@@ -21,7 +21,6 @@ weights can seed a video model.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -76,18 +75,10 @@ def temporal_conv_block(p, x):
         # keeps the whole video UNet's op mix identical to the image UNet
         # (NHWC convs + matmuls) so XLA's layout assignment stays row-major
         # (954 -> 717 ms/step with the reduction groupnorm, docs/PERF.md).
-        # y[:, t] = x[:, t-1] @ w0 + x[:, t] @ w1 + x[:, t+1] @ w2, zero pad.
-        if os.environ.get("VITRON_TCONV", "xla") == "pallas":
-            return temporal_conv_k3(x, w_.astype(x.dtype), b_)
-        w0, w1, w2 = (w_[i, 0].astype(x.dtype) for i in range(3))
-        y = x @ w1
-        y0 = (x @ w0)[:, :-1]
-        y2 = (x @ w2)[:, 1:]
-        pad0 = [(0, 0)] * x.ndim
-        pad0[1] = (1, 0)
-        pad2 = [(0, 0)] * x.ndim
-        pad2[1] = (0, 1)
-        return y + jnp.pad(y0, pad0) + jnp.pad(y2, pad2) + b_.astype(x.dtype)
+        # y[:, t] = x[:, t-1] @ w0 + x[:, t] @ w1 + x[:, t+1] @ w2, zero pad
+        # — temporal_conv_k3 owns both formulations (XLA default, Pallas
+        # behind VITRON_TCONV=pallas) so the math lives in one place.
+        return temporal_conv_k3(x, w_.astype(x.dtype), b_.astype(x.dtype))
 
     def gn(x, s, bias):
         # torch GroupNorm on [b, c, t, h, w]: stats per group over (t, h, w);

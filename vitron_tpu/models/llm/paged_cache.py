@@ -177,7 +177,9 @@ def decode_step_gathered(
     x, (k_news, v_news) = jax.lax.scan(
         layer, x, (params["layers"], k_all, v_all))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    # _mm so the int4/int8 lm_head (quantize_llama head=True, the serving
+    # default since loader.py quantizes it) works here like in llama.py:327
+    logits = _mm(x[:, 0], params["lm_head"]).astype(jnp.float32)
     return logits, k_news, v_news
 
 

@@ -58,19 +58,27 @@ class MemoryPlan:
     chips: int = 1
     entries: Dict[str, int] = dataclasses.field(default_factory=dict)
     sharded: Dict[str, bool] = dataclasses.field(default_factory=dict)
+    shard_factor: Dict[str, int] = dataclasses.field(default_factory=dict)
 
     def add(self, name: str, params_or_bytes: Any,
-            strict: bool = False, sharded: bool = False) -> int:
+            strict: bool = False, sharded: bool = False,
+            shard_factor: int = 0) -> int:
         """Register a resident model; returns its measured TOTAL bytes.
 
-        sharded=True marks the entry as mesh-sharded (per-chip cost =
-        total/chips). strict=True raises when the plan no longer fits
-        instead of just recording it (callers that can shed precision —
-        e.g. requantize — catch this)."""
+        sharded=True marks the entry as mesh-sharded over ALL chips
+        (per-chip cost = total/chips). An entry sharded over only a mesh
+        sub-axis (e.g. a KV pool split on `tensor` but replicated across
+        `fsdp`) must pass its actual division as shard_factor — per-chip
+        cost = total/shard_factor. strict=True raises when the plan no
+        longer fits instead of just recording it (callers that can shed
+        precision — e.g. requantize — catch this)."""
         n = (int(params_or_bytes) if isinstance(params_or_bytes, (int, np.integer))
              else tree_bytes(params_or_bytes))
         self.entries[name] = n
-        self.sharded[name] = bool(sharded)
+        self.sharded[name] = bool(sharded) or shard_factor > 1
+        self.shard_factor[name] = (
+            int(shard_factor) if shard_factor > 1
+            else (self.chips if sharded else 1))
         if strict and not self.fits:
             raise MemoryError(
                 f"memory plan over budget adding {name!r}:\n{self.report()}")
@@ -78,7 +86,8 @@ class MemoryPlan:
 
     def per_chip_bytes(self, name: str) -> int:
         n = self.entries[name]
-        return -(-n // self.chips) if self.sharded.get(name) else n
+        f = self.shard_factor.get(name, self.chips if self.sharded.get(name) else 1)
+        return -(-n // max(f, 1))
 
     @property
     def resident_bytes(self) -> int:

@@ -300,6 +300,20 @@ class VitronSystem:
                 inbox = ((gx >= norm[0][0] * lat) & (gx < norm[0][2] * lat) &
                          (gy >= norm[0][1] * lat) & (gy < norm[0][3] * lat))
                 keep = (~inbox).astype(np.float32)
+            elif parse_region_boxes(req.region):
+                # the LLM emitted explicit <region> boxes with the C call:
+                # honor them over re-deriving boxes from SEEM (the reference
+                # uses the parsed region list directly when present)
+                boxes = parse_region_boxes(req.region)
+                norm = [[min(max(v, 0.0), 1.0) for v in b] for b in boxes]
+                phrases = texts[: len(norm)] or [prompt]
+                gy, gx = np.mgrid[0:lat, 0:lat]
+                outside = np.ones((lat, lat), bool)
+                for b in norm:
+                    inbox = ((gx >= b[0] * lat) & (gx < b[2] * lat) &
+                             (gy >= b[1] * lat) & (gy < b[3] * lat))
+                    outside &= ~inbox
+                keep = outside.astype(np.float32)
             elif hasattr(self, "_seem_text_mask"):
                 # no sketch: per-phrase SEEM text segmentation, masks merged
                 # with logical_or, boxes from each mask (app.py:176-186)

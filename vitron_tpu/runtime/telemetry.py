@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import collections
 import threading
+import weakref
 from typing import Any, Callable, Dict, Optional
 
 
@@ -76,7 +77,12 @@ class ProgramCache:
 
 
 _LOCK = threading.Lock()
-_REGISTRY: Dict[str, ProgramCache] = {}
+# weak values: the registry is an observability view, not an owner — a
+# pipeline/server dropped by its creator must be collectable along with
+# its jitted executables (otherwise every reconstructed pipeline pins its
+# programs forever, the exact growth the bounded LRU exists to prevent)
+_REGISTRY: "weakref.WeakValueDictionary[str, ProgramCache]" = (
+    weakref.WeakValueDictionary())
 
 
 def _register(cache: ProgramCache) -> None:
@@ -95,7 +101,7 @@ def _register(cache: ProgramCache) -> None:
 def all_stats() -> Dict[str, Dict[str, int]]:
     """{cache name: stats} for every live program cache (the /stats view)."""
     with _LOCK:
-        return {name: c.stats() for name, c in _REGISTRY.items()}
+        return {name: c.stats() for name, c in list(_REGISTRY.items())}
 
 
 def reset() -> None:
