@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vitron_tpu.kernels.group_norm import group_norm_sums
+
 
 # ---------------------------------------------------------------- primitives
 
@@ -38,11 +40,13 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     is ~1e-7 relative)."""
     b = x.shape[0]
     c = x.shape[-1]
-    red = tuple(range(1, x.ndim - 1))
     n = int(np.prod(x.shape[1:-1])) * (c // groups)
+    # Stats routed through kernels/group_norm.py: XLA producer-fused
+    # reductions by default (the read-once Pallas pass measured SLOWER
+    # e2e — see that module's docstring; VITRON_GN=pallas re-measures).
+    st = group_norm_sums(x.reshape(b, -1, c))    # [B, 2, C] f32
+    s1, s2 = st[:, 0], st[:, 1]
     x32 = x.astype(jnp.float32)
-    s1 = jnp.sum(x32, red)                       # [B, C]
-    s2 = jnp.sum(x32 * x32, red)                 # [B, C]
     g1 = s1.reshape(b, groups, c // groups).sum(-1)
     g2 = s2.reshape(b, groups, c // groups).sum(-1)
     mu = g1 / n
