@@ -95,6 +95,9 @@ def main(argv=None) -> int:
     if not args.demo and not args.base_model:
         print("error: provide --base-model or use --demo", file=sys.stderr)
         return 2
+    from vitron_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import numpy as np
 

@@ -263,11 +263,17 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--demo", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compile cache dir ('' disables; "
+                        "default ~/.cache/vitron_tpu/xla)")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from vitron_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache)
     from vitron_tpu.apps.cli import _build_demo_system
 
     if not args.demo:
