@@ -188,6 +188,62 @@ def bench_e2e_request(quant: str = "int4") -> dict:
             "e2e_req_per_min_chip": round(60.0 / best, 1)}
 
 
+def bench_spec_decode() -> dict:
+    """Prompt-lookup speculative decode (runtime/speculative.py) on the
+    bench decode workload: 7B int4, prefill 256, 128 greedy tokens. Emits
+    k+1 tokens per HBM-bound forward when drafts verify; the acceptance
+    rate is workload-dependent (repetitive/quoting text accepts most) —
+    spec_tok_per_forward reports what THIS run accepted."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.models import vitron_model
+    from vitron_tpu.models.llm import llama
+    from vitron_tpu.runtime.speculative import speculative_decode
+
+    prefill, n_new = 256, 128
+    llm_cfg = llama.LlamaConfig(max_seq_len=prefill + n_new + 16,
+                                **PRESETS["7b"])
+    cfg = vitron_model.VitronConfig.serving(llm=llm_cfg)
+
+    def init(key):
+        def qw(kk, w):
+            packed = w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1])
+            return {"q4": jax.random.randint(kk, packed, -128, 128, jnp.int8),
+                    "s": jnp.full(w.shape[:-2] + (1, w.shape[-1]), 2e-2,
+                                  jnp.float32)}
+
+        p = vitron_model.init_params(key, cfg)
+        llm = dict(p["llm"])
+        layers = dict(llm["layers"])
+        for t in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+            layers[t] = qw(jax.random.fold_in(key, hash(t) % 1000), layers[t])
+        llm["layers"] = layers
+        llm["lm_head"] = qw(jax.random.fold_in(key, 7), llm["lm_head"])
+        return {**p, "llm": llm}
+
+    params = jax.jit(init)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    row = [1] + list(np.random.RandomState(0).randint(10, 2000, prefill - 1))
+    ids = jnp.asarray([row], jnp.int32)
+    arrays = (ids, jnp.zeros((1, prefill), jnp.int32),
+              jnp.zeros((1, prefill), bool),
+              jnp.arange(prefill, dtype=jnp.int32)[None],
+              jnp.ones((1, prefill), bool), jnp.asarray([prefill], jnp.int32))
+    fn = jax.jit(lambda p: speculative_decode(p, cfg, arrays, n_new, k=4,
+                                              ngram=2, eos_ids=()))
+    toks, out_n, steps = jax.tree.map(np.asarray, fn(params))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.tree.map(np.asarray, fn(params))
+        best = min(best, time.perf_counter() - t0)
+    return {"spec_decode_tok_s": round(int(out_n) / best, 1),
+            "spec_tok_per_forward": round(int(out_n) / int(steps), 2)}
+
+
 def bench_seem_fps() -> dict:
     """SEEM FocalNet-L video tracking, 8 frames batched (the reference runs
     a 5 fps serial per-frame loop, interactive.py:227)."""
@@ -382,8 +438,8 @@ def main():
     extras["decode_roofline_tok_s"] = round(roof, 1)
     extras["decode_roofline_frac"] = round(toks / roof, 3)
     if os.environ.get("VITRON_BENCH_EXTRAS", "1") == "1" and used == "7b":
-        for fn in (bench_e2e_request, bench_seem_fps, bench_sd_unet,
-                   bench_video_unet):
+        for fn in (bench_e2e_request, bench_spec_decode, bench_seem_fps,
+                   bench_sd_unet, bench_video_unet):
             try:
                 extras.update(fn())
             except Exception as e:

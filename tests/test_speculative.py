@@ -1,0 +1,198 @@
+"""Prompt-lookup speculative decoding: draft lookup + greedy exactness.
+
+The invariant under test: speculative_decode emits EXACTLY the plain
+greedy continuation (generate_scan at temperature 0) — speculation may
+only change how many forwards it takes, never the tokens.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitron_tpu.constants import IMAGE_TOKEN_INDEX
+from vitron_tpu.models import vitron_model
+from vitron_tpu.runtime.engine import MediaItem, prepare_batch
+from vitron_tpu.runtime.generation import generate_scan
+from vitron_tpu.runtime.speculative import ngram_draft, speculative_decode
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = vitron_model.VitronConfig.tiny()
+    params = vitron_model.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _plan(rows, media=None, image_len=16):
+    plan, images, videos, _ = prepare_batch(rows, media or [], pad_to=64,
+                                            image_len=image_len)
+    arrays = (jnp.asarray(plan.token_ids), jnp.asarray(plan.media_idx),
+              jnp.asarray(plan.use_media), jnp.asarray(plan.position_ids),
+              jnp.asarray(plan.attention_mask), jnp.asarray(plan.seq_lens))
+    return arrays, (jnp.asarray(images) if media else None)
+
+
+# ---------------------------------------------------------------- draft
+
+
+def test_ngram_draft_finds_most_recent_continuation():
+    # (5,6) occurs at 0 with continuation [7,8,5]; the tail occurrence at 4
+    # is the trivial self-match and must be excluded
+    hist = jnp.asarray([5, 6, 7, 8, 5, 6, 0, 0], jnp.int32)
+    d = ngram_draft(hist, jnp.int32(6), jnp.int32(6), k=3, ngram=2)
+    assert d.tolist() == [7, 8, 5]
+
+
+def test_ngram_draft_prefers_recent_match():
+    # (3,4) at 0 -> cont 9...; (3,4) at 4 -> cont 1,2 — most recent wins
+    hist = jnp.asarray([3, 4, 9, 9, 3, 4, 1, 2, 3, 4, 0, 0], jnp.int32)
+    d = ngram_draft(hist, jnp.int32(10), jnp.int32(4), k=2, ngram=2)
+    assert d.tolist() == [1, 2]
+
+
+def test_ngram_draft_no_match_repeats_last():
+    hist = jnp.asarray([1, 2, 3, 4, 0, 0], jnp.int32)
+    d = ngram_draft(hist, jnp.int32(4), jnp.int32(4), k=3, ngram=2)
+    assert d.tolist() == [4, 4, 4]
+
+
+# ------------------------------------------------------------ exactness
+
+
+@pytest.mark.parametrize("k,ngram", [(1, 2), (4, 2), (3, 3)])
+def test_speculative_matches_greedy_scan(tiny_setup, k, ngram):
+    cfg, params = tiny_setup
+    n_new = 24
+    rows = [[1, 5, 9, 7, 5, 9, 3]]
+    arrays, _ = _plan(rows)
+    ref = np.asarray(generate_scan(params, cfg, arrays, n_new,
+                                   jax.random.PRNGKey(0), temperature=0.0))[0]
+    toks, out_n, steps = speculative_decode(
+        params, cfg, arrays, n_new, k=k, ngram=ngram, eos_ids=())
+    toks = np.asarray(toks)
+    assert int(out_n) == n_new
+    assert 1 <= int(steps) <= n_new
+    np.testing.assert_array_equal(toks, ref)
+
+
+def test_speculative_matches_greedy_with_image(tiny_setup):
+    cfg, params = tiny_setup
+    n_new = 16
+    rows = [[1, 5, IMAGE_TOKEN_INDEX, 7, 3]]
+    media = [MediaItem("image", np.random.RandomState(0)
+                       .rand(28, 28, 3).astype(np.float32))]
+    arrays, images = _plan(rows, media)
+    ref = np.asarray(generate_scan(params, cfg, arrays, n_new,
+                                   jax.random.PRNGKey(0), temperature=0.0,
+                                   images=images))[0]
+    toks, out_n, _ = speculative_decode(
+        params, cfg, arrays, n_new, k=4, eos_ids=(), images=images)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+    assert int(out_n) == n_new
+
+
+def test_speculative_eos_truncates(tiny_setup):
+    cfg, params = tiny_setup
+    n_new = 24
+    rows = [[1, 5, 9, 7, 5, 9, 3]]
+    arrays, _ = _plan(rows)
+    ref = np.asarray(generate_scan(params, cfg, arrays, n_new,
+                                   jax.random.PRNGKey(0), temperature=0.0))[0]
+    # declare the token greedy decode emits at position 5 to be "EOS"; the
+    # speculative output must stop at its FIRST occurrence
+    eos_tok = int(ref[5])
+    first = int(np.argmax(ref == eos_tok))
+    toks, out_n, _ = speculative_decode(
+        params, cfg, arrays, n_new, k=4, eos_ids=(eos_tok,))
+    toks = np.asarray(toks)
+    assert int(out_n) == first + 1
+    np.testing.assert_array_equal(toks[: first + 1], ref[: first + 1])
+    assert (toks[first + 1:] == -1).all()
+
+
+def test_speculative_accepts_on_repetitive_continuation(tiny_setup):
+    """A prompt whose greedy continuation cycles (common for tiny random
+    weights) must be accelerated: if the reference decode is periodic with
+    period p <= k after warmup, prompt lookup predicts it perfectly and
+    steps << n_new. Guarded: only asserted when the continuation IS cyclic."""
+    cfg, params = tiny_setup
+    n_new = 48
+    rows = [[1, 5, 9, 7, 5, 9, 3]]
+    arrays, _ = _plan(rows)
+    ref = np.asarray(generate_scan(params, cfg, arrays, n_new,
+                                   jax.random.PRNGKey(0), temperature=0.0))[0]
+    tail = ref[n_new // 2:]
+    cyclic = any((tail[:-p] == tail[p:]).all() for p in range(1, 5))
+    toks, out_n, steps = speculative_decode(
+        params, cfg, arrays, n_new, k=4, ngram=2, eos_ids=())
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+    if cyclic:
+        assert int(steps) < n_new // 2, (
+            f"cyclic continuation but {int(steps)} forwards for {n_new} tokens")
+
+
+def test_speculative_near_argmax_property(tiny_setup):
+    """The durable invariant under float noise: EVERY emitted token is the
+    argmax continuation of the emitted prefix, up to reduction-order
+    rounding between the s=1 and s=k+1 compiled forwards (near-tied
+    argmaxes may break differently — same caveat as chunked decode). A
+    bookkeeping bug (wrong slot/position/rollback) shows up as gaps of
+    whole logits, far above the tolerance."""
+    from vitron_tpu.models.llm import llama
+
+    cfg, params = tiny_setup
+    n_new = 64
+    for seed in range(4):
+        rs = np.random.RandomState(seed)
+        row = [1] + list(rs.randint(3, 200, 9))
+        arrays, _ = _plan([row])
+        toks, out_n, _ = speculative_decode(params, cfg, arrays, n_new,
+                                            k=4, ngram=2, eos_ids=())
+        emitted = [int(t) for t in np.asarray(toks)[: int(out_n)]]
+        seq = np.asarray(row + emitted, np.int32)
+        lg = np.asarray(llama.forward_tokens(
+            params["llm"], cfg.llm, jnp.asarray(seq[None]),
+            positions=jnp.arange(len(seq), dtype=jnp.int32)[None],
+            attn_mask=jnp.ones((1, len(seq)), bool))[0][0], np.float32)
+        for i in range(len(row) - 1, len(seq) - 1):
+            gap = float(lg[i].max() - lg[i, seq[i + 1]])
+            assert gap < 0.15, (
+                f"seed {seed}: token {seq[i+1]} at {i+1} is {gap:.3f} logits "
+                f"below argmax {int(lg[i].argmax())} — not a near-tie")
+
+
+def test_speculative_deterministic(tiny_setup):
+    cfg, params = tiny_setup
+    arrays, _ = _plan([[1, 5, 9, 7, 5, 9, 3]])
+    a = np.asarray(speculative_decode(params, cfg, arrays, 32, k=4,
+                                      eos_ids=())[0])
+    b = np.asarray(speculative_decode(params, cfg, arrays, 32, k=4,
+                                      eos_ids=())[0])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generator_speculative_path(tiny_setup):
+    """Generator.generate(speculative=True) returns the same greedy tokens
+    as the per-token step path for this pinned prompt and records stats."""
+    from vitron_tpu.runtime.generation import Generator, SamplingConfig
+
+    cfg, params = tiny_setup
+    gen = Generator(params, cfg)
+    plan, images, videos, _ = prepare_batch([[1, 5, 9, 7, 5, 9, 3]], [],
+                                            pad_to=64, image_len=16)
+    s = SamplingConfig(greedy=True, max_new_tokens=16, eos_ids=())
+    ref = gen.generate(plan, sampling=s, speculative=False, decode_chunk=0)
+    out = gen.generate(plan, sampling=s, speculative=True)
+    assert out == ref
+    assert gen.last_spec_stats is not None
+    assert gen.last_spec_stats["emitted"] == 16
+    assert 1 <= gen.last_spec_stats["forwards"] <= 17
+
+
+def test_speculative_rejects_batch(tiny_setup):
+    cfg, params = tiny_setup
+    rows = [[1, 5, 3], [1, 7, 3]]
+    arrays, _ = _plan(rows)
+    with pytest.raises(ValueError, match="single-stream"):
+        speculative_decode(params, cfg, arrays, 8)
