@@ -201,6 +201,11 @@ def make_handler(system, pipeline=None):
                     # compiled-program cache counts (bounded LRU per
                     # pipeline; see runtime/telemetry.py)
                     "programs": telemetry.all_stats(),
+                    # continuous-batching occupancy (runtime/batching.py):
+                    # mean sequences co-batched per decode chunk + slot
+                    # efficiency (emitted / decoded slots)
+                    **({"batching": pipeline.batcher.stats()}
+                       if pipeline.batcher is not None else {}),
                 })
             elif self.path in ("/", "/index.html"):
                 body = _INDEX_HTML.encode()

@@ -183,6 +183,28 @@ def decode_step_gathered(
     return logits, k_news, v_news
 
 
+def sample_token_batched(key: jax.Array, logits: jax.Array,
+                         temps: jax.Array, top_ps: jax.Array,
+                         greedy: jax.Array) -> jax.Array:
+    """Per-row sampling for co-batched decode: logits [B, V] with per-row
+    temperature/top_p/greedy -> [B] int32. Rows with greedy=True (or
+    temperature <= 0) take argmax; others nucleus-sample — one program
+    serves a mixed batch of greedy and sampled requests."""
+    greedy = greedy | (temps <= 0.0)
+    safe_t = jnp.where(greedy, 1.0, temps)
+    scaled = (logits / safe_t[:, None].astype(logits.dtype))
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens until cumulative prob exceeds top_p (always keep top-1)
+    cutoff_idx = jnp.sum(cum < top_ps[:, None], axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    masked = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    sampled = jax.random.categorical(key, masked, axis=-1)
+    return jnp.where(greedy, jnp.argmax(logits, axis=-1),
+                     sampled).astype(jnp.int32)
+
+
 class PagedServer:
     """Minimal continuous-batching loop: sequences join/leave between steps;
     each step decodes all active sequences in one program."""
@@ -250,21 +272,41 @@ class PagedServer:
         _, cache = llama_mod.forward_tokens(
             self.params, self.cfg, ids, positions=pos, attn_mask=mask,
             cache=cache)
+        self._import_cache(sid, cache.k, cache.v, n)
+        return sid
+
+    def add_from_cache(self, cache_k: jax.Array, cache_v: jax.Array,
+                       length: int, last_token: int) -> int:
+        """Register a sequence whose prefill ran OUTSIDE the server (e.g. the
+        multimodal spliced prefill in runtime/batching.py): copy the dense
+        cache's first `length` slots into pool blocks. cache_k/v:
+        [L, 1, T, KV, D] with real tokens right-padded at slots
+        [0, length); `last_token` is the token the next decode step feeds
+        (the one sampled from the prefill logits)."""
+        sid = self._next_id
+        self._next_id += 1
+        self.seqs[sid] = PagedSequence(blocks=[])
+        self.last_token[sid] = last_token
+        if length > 0:
+            self._import_cache(sid, cache_k, cache_v, length)
+        return sid
+
+    def _import_cache(self, sid: int, cache_k, cache_v, n: int) -> None:
         # scatter the dense K/V into pool blocks: prefill starts block-aligned
         # at 0, so the whole prompt lands in ONE scatter (padded tail rows in
         # the final block are dead weight masked out by `lengths` at read)
+        seq = self.seqs[sid]
         bs = self.pool.block_size
         seq.ensure_capacity(self.pool, n)
         nb = len(seq.blocks)
-        l, _, _, kv, d = cache.k.shape
-        k_blk = cache.k[:, 0, :nb * bs].reshape(l, nb, bs, kv, d)
-        v_blk = cache.v[:, 0, :nb * bs].reshape(l, nb, bs, kv, d)
+        l, _, _, kv, d = cache_k.shape
+        k_blk = cache_k[:, 0, :nb * bs].reshape(l, nb, bs, kv, d)
+        v_blk = cache_v[:, 0, :nb * bs].reshape(l, nb, bs, kv, d)
         k_pool, v_pool = self._scatter_blocks(
             self.pool.k, self.pool.v, k_blk, v_blk, jnp.asarray(seq.blocks))
         self.pool = PagedPool(k=k_pool, v=v_pool, block_size=bs,
                               free=self.pool.free)
         seq.length = n
-        return sid
 
     def step(self, only: Optional[Dict[int, Any]] = None) -> Dict[int, int]:
         """One decode step for all (or selected) active sequences; returns
@@ -314,19 +356,22 @@ class PagedServer:
             self.last_token[i] = out[i]
         return out
 
-    def _get_chunk_fn(self, n: int, b: int):
-        """Jitted n-step greedy decode for a fixed active-batch size: one
-        program promotes int4 weights to native s4 once (~40 ms for 7B,
-        amortized over n tokens — the same fast path as generate_scan, see
+    def _get_chunk_fn(self, n: int, b: int, sampled: bool):
+        """Jitted n-step decode for a fixed active-batch size: one program
+        promotes int4 weights to native s4 once (~40 ms for 7B, amortized
+        over n tokens — the same fast path as generate_scan, see
         kernels/quantization.py) and scans n paged decode steps, scattering
-        each new token's K/V through the block table on device."""
-        key = (n, b, self.max_blocks)
+        each new token's K/V through the block table on device. With
+        sampled=True the program takes per-row (temps, top_ps, greedy) plus
+        an rng key, so one batch mixes greedy and nucleus-sampled rows."""
+        key = (n, b, self.max_blocks, sampled)
         cached = self._chunk_fns.lookup(key)
         if cached is None:
             cfg = self.cfg
             bs = self.pool.block_size
 
-            def _chunk(params, k_pool, v_pool, table, lengths, last_token):
+            def _chunk(params, k_pool, v_pool, table, lengths, last_token,
+                       temps, top_ps, greedy, rng):
                 from vitron_tpu.kernels.quantization import promote_int4
 
                 params = promote_int4(params)
@@ -337,8 +382,9 @@ class PagedServer:
                 pool0 = PagedPool(k=k_pool, v=v_pool, block_size=bs, free=[])
                 k_all, v_all = gather_kv(pool0, table)
                 row = jnp.arange(b)
+                keys = jax.random.split(rng, n)
 
-                def body(carry, _):
+                def body(carry, step_key):
                     k_pool, v_pool, k_all, v_all, lengths, token = carry
                     emb = jnp.take(params["embed"], token, axis=0)[:, None]
                     pos = lengths[:, None]
@@ -352,23 +398,34 @@ class PagedServer:
                     wr_offs = lengths % bs
                     k_pool = k_pool.at[:, wr_blocks, wr_offs].set(k_new)
                     v_pool = v_pool.at[:, wr_blocks, wr_offs].set(v_new)
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    if sampled:
+                        nxt = sample_token_batched(step_key, logits, temps,
+                                                   top_ps, greedy)
+                    else:
+                        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     return (k_pool, v_pool, k_all, v_all, lengths + 1, nxt), nxt
 
                 (k_pool, v_pool, k_all, v_all, lengths, token), toks = \
                     jax.lax.scan(
                         body, (k_pool, v_pool, k_all, v_all, lengths,
-                               last_token), None, length=n)
+                               last_token), keys)
                 return k_pool, v_pool, lengths, token, toks.T  # [B, n]
 
             cached = self._chunk_fns.store(
                 key, jax.jit(_chunk, donate_argnums=(1, 2)))
         return cached
 
-    def step_n(self, n: int) -> Dict[int, List[int]]:
-        """Greedy-decode n tokens for every active sequence in ONE device
-        program (the continuous-batching granularity becomes n-token slots;
-        sequences join/leave between calls). Returns {seq_id: [tokens]}."""
+    def step_n(self, n: int, sampling=None) -> Dict[int, List[int]]:
+        """Decode n tokens for every active sequence in ONE device program
+        (the continuous-batching granularity becomes n-token slots;
+        sequences join/leave between calls). Returns {seq_id: [tokens]}.
+
+        sampling: None for greedy-all (argmax), or a dict
+        {sid: (temperature, top_p, greedy)} plus key "rng" mapping to a
+        jax PRNG key — rows sample independently per their own params.
+        Requests sharing a chunk also share the per-step keys, so a
+        sampled request's token stream depends on which step index it
+        co-batched at (not bitwise-reproducible across batch schedules)."""
         ids = sorted(self.seqs)
         if not ids or n <= 0:
             return {}
@@ -384,10 +441,20 @@ class PagedServer:
             table[row, : len(self.seqs[i].blocks)] = self.seqs[i].blocks
         lengths = jnp.asarray([self.seqs[i].length for i in ids], jnp.int32)
         last = jnp.asarray([self.last_token[i] for i in ids], jnp.int32)
-        fn = self._get_chunk_fn(n, b)
+        sampled = sampling is not None
+        if sampled:
+            temps = jnp.asarray([sampling[i][0] for i in ids], jnp.float32)
+            top_ps = jnp.asarray([sampling[i][1] for i in ids], jnp.float32)
+            greedy = jnp.asarray([sampling[i][2] for i in ids], bool)
+            rng = sampling["rng"]
+        else:
+            temps = top_ps = jnp.zeros((b,), jnp.float32)
+            greedy = jnp.ones((b,), bool)
+            rng = jax.random.PRNGKey(0)
+        fn = self._get_chunk_fn(n, b, sampled)
         k_pool, v_pool, _, _, toks = fn(
             self.params, self.pool.k, self.pool.v, jnp.asarray(table),
-            lengths, last)
+            lengths, last, temps, top_ps, greedy, rng)
         self.pool = PagedPool(k=k_pool, v=v_pool, block_size=bs,
                               free=self.pool.free)
         toks_host = np.asarray(toks)

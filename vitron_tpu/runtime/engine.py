@@ -114,6 +114,9 @@ class VitronEngine:
         self.generator = Generator(params, cfg, tokenizer)
         self.tokenizer = tokenizer
         self.conv_template = conv_template
+        # set by ServingPipeline(batched=True): chat decode co-batches with
+        # other in-flight requests through runtime/batching.py
+        self.batcher = None
 
     def chat(
         self,
@@ -157,6 +160,7 @@ class VitronEngine:
             # The keyword stopper is checked at chunk boundaries.
             decode_chunk=decode_chunk if decode_chunk is not None else (
                 None if _gen_mod._has_packed_int4(self.generator.params) else 32),
+            batcher=self.batcher,
         )[0]
         text = self.tokenizer.decode(out, skip_special_tokens=True)
         if stop_str and text.endswith(stop_str):

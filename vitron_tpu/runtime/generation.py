@@ -170,6 +170,7 @@ class Generator:
         speculative: Optional[bool] = None,
         spec_k: int = 4,
         spec_ngram: int = 2,
+        batcher=None,
     ) -> List[List[int]]:
         """Run prefill + decode for one planned batch; returns new token ids
         per row (stop sequences trimmed by the caller/stopper semantics).
@@ -196,9 +197,21 @@ class Generator:
         import os as _os
 
         cfg, params = self.cfg, self.params
+        # stats always describe the MOST RECENT call: a non-speculative
+        # request must not leave the previous request's counts visible
+        self.last_spec_stats = None
+        b, pad_len = plan.token_ids.shape
+        if batcher is not None and b == 1:
+            # serving: co-batch this request's decode with other in-flight
+            # requests (runtime/batching.py ContinuousBatcher); prefill and
+            # chunked decode run on the batcher's device loop
+            fut = batcher.submit(plan, images=images, videos=videos,
+                                 block_perm=block_perm,
+                                 region_boxes=region_boxes, sampling=sampling,
+                                 stopper=stopper, rng=rng)
+            return [fut.result()]
         if decode_chunk is None and _has_packed_int4(params):
             decode_chunk = 128
-        b, pad_len = plan.token_ids.shape
         greedy = sampling.greedy or sampling.temperature == 0.0
         if speculative is None:
             speculative = (greedy and b == 1

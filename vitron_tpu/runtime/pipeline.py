@@ -72,23 +72,46 @@ class PipelinedRunner:
 
 class ServingPipeline:
     """Request pipeline for serve.py: host preprocessing of request N+1
-    overlaps device generation for request N.
+    overlaps device generation for request N, and (batched=True, the
+    default) concurrent requests CO-BATCH their decode steps through one
+    paged-KV program (runtime/batching.py ContinuousBatcher) instead of
+    serializing single-stream generations.
 
     - `prepare` (system.prepare: decode/resize/prompt assembly) runs in a
       worker pool, one task per incoming request;
-    - `chat_prepared` (MLLM generate + routing) runs on ONE device thread —
-      TPU programs serialize anyway, and a single submitter keeps program
-      order deterministic.
+    - LLM prefill + decode run on the batcher's device loop, which admits
+      new sequences between decode chunks — N clients share each weight
+      pass instead of queueing N full generations;
+    - backend routing (SEEM/diffusion programs after the protocol parse)
+      runs on a small executor: with co-batched decode the old
+      single-device-thread rule would make routing for request N block
+      request N+1's decode.
 
-    The reference runs both phases serially on the Gradio callback thread
+    batched=False restores the r3 behavior: ONE device thread serializes
+    chat_prepared calls (single-stream decode keeps prompt-lookup
+    speculation, runtime/speculative.py — the faster shape when clients
+    never overlap).
+
+    The reference runs everything serially on its Gradio callback thread
     (SURVEY §3.1 'CPU hot loop')."""
 
-    def __init__(self, system, num_workers: int = 4):
+    def __init__(self, system, num_workers: int = 4, batched: bool = True,
+                 max_active: int = 8, decode_chunk: int = 16,
+                 num_kv_blocks: int = 512):
         self.system = system
+        self.batcher = None
+        if batched:
+            from vitron_tpu.runtime.batching import ContinuousBatcher
+
+            gen = system.engine.generator
+            self.batcher = ContinuousBatcher(
+                gen.params, gen.cfg, chunk=decode_chunk,
+                max_active=max_active, num_blocks=num_kv_blocks)
+            system.engine.batcher = self.batcher
         self._prep = concurrent.futures.ThreadPoolExecutor(
             num_workers, thread_name_prefix="vitron-prep")
         self._device = concurrent.futures.ThreadPoolExecutor(
-            1, thread_name_prefix="vitron-device")
+            max_active if batched else 1, thread_name_prefix="vitron-device")
 
     def submit(self, user_message: str, image=None, video=None,
                sketch_mask=None, region_box=None, history=None,
@@ -115,6 +138,9 @@ class ServingPipeline:
     def close(self):
         self._prep.shutdown(wait=False)
         self._device.shutdown(wait=False)
+        if self.batcher is not None:
+            self.batcher.close()
+            self.system.engine.batcher = None
 
 
 class MediaPrefetcher:
