@@ -60,9 +60,12 @@ def run(preset: str, prefill: int, n_new: int, quant: str = ""):
 
             p = llama.init_params(key, cfg)
             layers = dict(p["layers"])
-            for t in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
-                layers[t] = qw(jax.random.fold_in(key, hash(t) % 1000),
-                               layers[t])
+            # enumerate, not hash(t): string hashing is per-process
+            # randomized (PYTHONHASHSEED), which made bench weights — and
+            # the spec acceptance they induce — vary across runs
+            for i, t in enumerate(("wq", "wk", "wv", "wo", "gate", "down",
+                                   "up")):
+                layers[t] = qw(jax.random.fold_in(key, i), layers[t])
             # lm_head quantized too (serving default; 0.37 -> ~0.1 ms/tok,
             # docs/PERF.md decode attribution)
             return {**p, "layers": layers,
@@ -149,8 +152,9 @@ def bench_e2e_request(quant: str = "int4") -> dict:
         p = vitron_model.init_params(key, cfg)
         llm = dict(p["llm"])
         layers = dict(llm["layers"])
-        for t in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
-            layers[t] = qw(jax.random.fold_in(key, hash(t) % 1000), layers[t])
+        for i, t in enumerate(("wq", "wk", "wv", "wo", "gate", "up",
+                               "down")):
+            layers[t] = qw(jax.random.fold_in(key, i), layers[t])
         llm["layers"] = layers
         llm["lm_head"] = qw(jax.random.fold_in(key, 7), llm["lm_head"])
         return {**p, "llm": llm}
@@ -218,8 +222,9 @@ def bench_spec_decode() -> dict:
         p = vitron_model.init_params(key, cfg)
         llm = dict(p["llm"])
         layers = dict(llm["layers"])
-        for t in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
-            layers[t] = qw(jax.random.fold_in(key, hash(t) % 1000), layers[t])
+        for i, t in enumerate(("wq", "wk", "wv", "wo", "gate", "up",
+                               "down")):
+            layers[t] = qw(jax.random.fold_in(key, i), layers[t])
         llm["layers"] = layers
         llm["lm_head"] = qw(jax.random.fold_in(key, 7), llm["lm_head"])
         return {**p, "llm": llm}
@@ -241,7 +246,174 @@ def bench_spec_decode() -> dict:
         jax.tree.map(np.asarray, fn(params))
         best = min(best, time.perf_counter() - t0)
     return {"spec_decode_tok_s": round(int(out_n) / best, 1),
-            "spec_tok_per_forward": round(int(out_n) / int(steps), 2)}
+            "spec_tok_per_forward": round(int(out_n) / int(steps), 2),
+            # random-weight greedy output is degenerate/repetitive — ideal
+            # for prompt lookup; treat as a favorable-acceptance UPPER BOUND
+            # (bench_spec_acceptance replays realistic transcripts)
+            "spec_note": "upper bound: random-weight cyclic continuation"}
+
+
+# Realistic transcripts for model-free prompt-lookup acceptance replay:
+# the reference's example-tab protocol replies (app.py:963-1085; the task
+# strings a trained Vitron emits) and COCO-caption-style chat answers.
+_SPEC_PROTOCOL_TRANSCRIPTS = [
+    ("draw a picture of a gray wolf walking in the forest",
+     "Certainly! <module>A</module> <instruction>prompt: a gray wolf "
+     "walking in the forest, realistic, 4K</instruction>"),
+    ("segment the man who is eating a hotdog in this image",
+     "Sure, I will segment it. <module>B</module> <instruction>target: "
+     "the man who is eating a hotdog</instruction>"),
+    ("put a sun hat on the dog's head",
+     "I can edit the image for you. <module>C</module> <instruction>edit: "
+     "a sun hat on the dog's head</instruction>"),
+    ("make a video of an aerial view of a tractor working on the fields",
+     "Of course! <module>D</module> <instruction>prompt: an aerial view "
+     "of a tractor working on the fields, 4K</instruction>"),
+    ("track the woman in the video",
+     "Tracking the woman now. <module>E</module> <instruction>track: "
+     "the woman</instruction>"),
+    ("turn the bear into a polar bear strolling in a snowy winter forest",
+     "<module>F</module> <instruction>foreground: a polar bear strolling"
+     "</instruction><instruction>background: a snowy winter forest"
+     "</instruction>"),
+]
+_SPEC_CAPTION_TRANSCRIPTS = [
+    ("describe this image in detail",
+     "The image shows a man riding a wave on top of a surfboard . the man "
+     "is wearing a black wetsuit and the wave is curling over him . in the "
+     "background there are several other surfers waiting for the next wave "
+     ". the water is a deep blue and the sky is clear ."),
+    ("what is happening in this picture",
+     "A group of people are sitting around a wooden table with plates of "
+     "food . there are two pizzas on the table along with glasses of wine "
+     ". the people appear to be enjoying a meal together at a restaurant ."),
+    ("tell me about the animals here",
+     "Two zebras are grazing in a grassy field . the zebra on the left is "
+     "bending its neck down to eat the grass while the zebra on the right "
+     "is looking toward the camera . behind the zebras there are trees ."),
+]
+
+
+def _simulate_prompt_lookup(prompt_ids, gold_ids, k=4, ngram=2):
+    """Model-free replay of the ngram_draft accept loop
+    (runtime/speculative.py semantics) over a gold continuation: at each
+    verification step, draft k tokens from the most recent n-gram match in
+    prompt+emitted history and count the accepted prefix. Returns
+    emitted-tokens-per-forward for this transcript."""
+    hist = list(prompt_ids) + [gold_ids[0]]
+    i, forwards = 1, 0
+    while i < len(gold_ids):
+        key = hist[-ngram:]
+        best = -1
+        for s in range(len(hist) - ngram):
+            if hist[s:s + ngram] == key:
+                best = s
+        if best >= 0:
+            draft = hist[best + ngram: best + ngram + k]
+        else:
+            draft = [hist[-1]] * k
+        acc = 0
+        for j, d in enumerate(draft):
+            if i + j < len(gold_ids) and d == gold_ids[i + j]:
+                acc += 1
+            else:
+                break
+        n_emit = min(acc + 1, len(gold_ids) - i)
+        hist.extend(gold_ids[i:i + n_emit])
+        i += n_emit
+        forwards += 1
+    return len(gold_ids) / max(forwards, 1)
+
+
+def bench_spec_acceptance(plain_tok_s: float) -> dict:
+    """Honest workload-dependent speculative acceptance: replay realistic
+    transcripts (protocol strings + caption answers, word-tokenized as a
+    BPE proxy) through the prompt-lookup accept rule and project tok/s via
+    the measured 1.46x speculation-step cost (docs/PERF.md). These bound
+    the real-checkpoint range alongside the cyclic upper bound."""
+    from vitron_tpu.mm.conversation import conv_templates
+
+    system = conv_templates["llava_v1"].system
+
+    def tpf_for(transcripts):
+        vocab: dict = {}
+
+        def ids(text):
+            return [vocab.setdefault(w, len(vocab)) for w in text.split()]
+
+        vals = []
+        for user, reply in transcripts:
+            prompt = ids(system) + ids("USER: " + user + " ASSISTANT:")
+            gold = ids(reply)
+            vals.append(_simulate_prompt_lookup(prompt, gold))
+        return sum(vals) / len(vals)
+
+    spec_step_cost = 1.46  # measured (k+1)-wide forward vs 1-token step
+    out = {}
+    for name, tr in (("protocol", _SPEC_PROTOCOL_TRANSCRIPTS),
+                     ("caption", _SPEC_CAPTION_TRANSCRIPTS)):
+        tpf = tpf_for(tr)
+        out[f"spec_tpf_{name}"] = round(tpf, 2)
+        out[f"spec_tok_s_{name}_est"] = round(
+            plain_tok_s * tpf / spec_step_cost, 1)
+    return out
+
+
+def bench_continuous_batching() -> dict:
+    """Serving load point: aggregate decode tok/s through the co-batched
+    paged path (PagedServer.step_n with per-row sampling) at 4 concurrent
+    sequences vs 1 — the multi-client serving shape apps/serve.py runs
+    (runtime/batching.py)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.models.llm import llama
+    from vitron_tpu.models.llm.paged_cache import PagedServer
+
+    prefill, n = 256, 64
+    cfg = llama.LlamaConfig(max_seq_len=1024, **PRESETS["7b"])
+
+    def init_q(key):
+        def qw(kk, w):
+            packed = w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1])
+            return {"q4": jax.random.randint(kk, packed, -128, 128, jnp.int8),
+                    "s": jnp.full(w.shape[:-2] + (1, w.shape[-1]), 2e-2,
+                                  jnp.float32)}
+
+        p = llama.init_params(key, cfg)
+        layers = dict(p["layers"])
+        for i, t in enumerate(("wq", "wk", "wv", "wo", "gate", "up", "down")):
+            layers[t] = qw(jax.random.fold_in(key, i), layers[t])
+        return {**p, "layers": layers,
+                "lm_head": qw(jax.random.fold_in(key, 7), p["lm_head"])}
+
+    params = jax.jit(init_q)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    rs = np.random.RandomState(0)
+    out = {}
+    for b in (1, 4):
+        # 4 chunks run per sequence (1 compile + 3 timed), each growing the
+        # sequence by n tokens past the prefill
+        blocks_per_seq = (prefill + 4 * n) // 16 + 2
+        srv = PagedServer(params, cfg, num_blocks=blocks_per_seq * b,
+                          block_size=16, max_blocks_per_seq=32)
+        for _ in range(b):
+            srv.add_request(list(rs.randint(1, 30000, prefill)), chunk=prefill)
+        sampling = {sid: (0.0, 1.0, True) for sid in srv.seqs}
+        sampling["rng"] = jax.random.PRNGKey(1)
+        srv.step_n(n, sampling=sampling)  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            srv.step_n(n, sampling=dict(sampling))
+            best = min(best, time.perf_counter() - t0)
+        out[f"serve_batch{b}_tok_s"] = round(b * n / best, 1)
+    if out.get("serve_batch1_tok_s"):
+        out["serve_batch4_speedup"] = round(
+            out["serve_batch4_tok_s"] / out["serve_batch1_tok_s"], 2)
+    return out
 
 
 def bench_seem_fps() -> dict:
@@ -438,12 +610,15 @@ def main():
     extras["decode_roofline_tok_s"] = round(roof, 1)
     extras["decode_roofline_frac"] = round(toks / roof, 3)
     if os.environ.get("VITRON_BENCH_EXTRAS", "1") == "1" and used == "7b":
-        for fn in (bench_e2e_request, bench_spec_decode, bench_seem_fps,
+        for fn in (bench_e2e_request, bench_spec_decode,
+                   lambda: bench_spec_acceptance(toks),
+                   bench_continuous_batching, bench_seem_fps,
                    bench_sd_unet, bench_video_unet):
             try:
                 extras.update(fn())
             except Exception as e:
-                print(f"# extra {fn.__name__} failed: {type(e).__name__}: {e}",
+                name = getattr(fn, "__name__", "bench_spec_acceptance")
+                print(f"# extra {name} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
 
     print(json.dumps({

@@ -115,6 +115,31 @@ def test_promote_int4_matches_packed_math():
     assert t8["layers"]["up"]["q"].dtype == jnp.int8
 
 
+def test_w4a8_integer_dot_accuracy():
+    """The opt-in W4A8 path (promote_int4(a8=True) -> s8 x s4 integer dot):
+    activation-quant error must stay at the bf16-rounding scale (~2^-8
+    relative) vs the exact dequantized matmul. Kept as a gated option —
+    measured NOT faster than the s4->bf16 convert path on v5e (r4,
+    kernels/quantization.py w4a8_default docstring)."""
+    from vitron_tpu.kernels.quantization import (dequantize, promote_int4,
+                                                 quantize_int4)
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+    q4 = quantize_int4(w)
+
+    @jax.jit
+    def via_a8(x, q4):
+        tree = promote_int4({"up": q4}, a8=True)
+        assert tree["up"]["qa8"].dtype == jnp.int4
+        return matmul_maybe_quantized(x, tree["up"])
+
+    got = np.asarray(via_a8(x, q4))
+    exact = np.asarray(x @ dequantize(q4).astype(x.dtype))
+    scale = np.abs(exact).max()
+    assert np.max(np.abs(got - exact)) < 2 ** -7 * scale
+
+
 def test_generate_scan_int4_promotes():
     """generate_scan on an int4-quantized model runs end-to-end (the s4
     promotion happens inside the jitted program)."""

@@ -190,6 +190,62 @@ def test_generator_speculative_path(tiny_setup):
     assert 1 <= gen.last_spec_stats["forwards"] <= 17
 
 
+class _IdTok:
+    bos_token_id = 1
+    eos_token_id = 2
+
+    def __call__(self, s):
+        class R:
+            pass
+
+        r = R()
+        r.input_ids = [1] + [abs(hash(w)) % 200 + 10 for w in s.split()]
+        return r
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(t) for t in ids)
+
+
+def test_segmented_speculation_with_stopper_matches_plain(tiny_setup):
+    """With a keyword stopper, the Generator runs the loop in SEGMENTS
+    (host stop check between; runtime/speculative.py speculative_segment)
+    and must still emit exactly the plain greedy continuation."""
+    from vitron_tpu.mm.tokenization import KeywordStopper
+    from vitron_tpu.runtime.generation import Generator, SamplingConfig
+
+    cfg, params = tiny_setup
+    gen = Generator(params, cfg)
+    plan, *_ = prepare_batch([[1, 5, 9, 7, 5, 9, 3]], [], pad_to=64,
+                             image_len=16)
+    s = SamplingConfig(greedy=True, max_new_tokens=24, eos_ids=())
+    stopper = KeywordStopper(["no-such-stop-string"], _IdTok(), prompt_len=0)
+    ref = gen.generate(plan, sampling=s, speculative=False, decode_chunk=0)
+    out = gen.generate(plan, sampling=s, speculative=True, stopper=stopper)
+    assert out == ref
+    assert gen.last_spec_stats["fell_back"] in (False, True)
+
+
+def test_adaptive_fallback_resumes_exactly(tiny_setup, monkeypatch):
+    """Force the acceptance threshold impossibly high: speculation must
+    fall back to plain chunked decode mid-generation and the combined
+    output must still equal the plain greedy continuation."""
+    from vitron_tpu.mm.tokenization import KeywordStopper
+    from vitron_tpu.runtime.generation import Generator, SamplingConfig
+
+    monkeypatch.setenv("VITRON_SPEC_TPF_MIN", "1000")
+    cfg, params = tiny_setup
+    gen = Generator(params, cfg)
+    plan, *_ = prepare_batch([[1, 5, 9, 7, 5, 9, 3]], [], pad_to=64,
+                             image_len=16)
+    s = SamplingConfig(greedy=True, max_new_tokens=48, eos_ids=())
+    stopper = KeywordStopper(["no-such-stop-string"], _IdTok(), prompt_len=0)
+    ref = gen.generate(plan, sampling=s, speculative=False, decode_chunk=0)
+    out = gen.generate(plan, sampling=s, speculative=True, stopper=stopper,
+                       decode_chunk=8)
+    assert gen.last_spec_stats["fell_back"] is True
+    assert out == ref
+
+
 def test_speculative_rejects_batch(tiny_setup):
     cfg, params = tiny_setup
     rows = [[1, 5, 3], [1, 7, 3]]

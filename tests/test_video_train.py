@@ -18,13 +18,18 @@ from vitron_tpu.train import video as vt
 
 @pytest.fixture(scope="module")
 def tiny():
-    cfg = unet_sd_video.UNetSDVideoConfig.tiny("t2v")
+    # single-scale / single-mult variant: these tests pin the TRAIN-LOOP
+    # semantics (EMA, LR schedule, CFG dropout), not UNet structure — the
+    # full tiny UNet is covered by test_unet_sd_video_parity.py, and each
+    # extra block here costs real jit-compile wall time (r3: 4 tests >52 s)
+    cfg = unet_sd_video.UNetSDVideoConfig.tiny(
+        "t2v", dim_mult=(1,), attn_scales=(1.0,))
     params = unet_sd_video.init_params(jax.random.PRNGKey(0), cfg)
     sched = DiffusionSchedule.create("cosine", 1000, zero_terminal_snr=True)
     return cfg, params, sched
 
 
-def _batch(rng, b=2, f=4, h=8, w=8, ctx=1024):
+def _batch(rng, b=2, f=2, h=8, w=8, ctx=1024):
     k1, k2 = jax.random.split(rng)
     return {
         "x0": jax.random.normal(k1, (b, f, h, w, 4), jnp.float32) * 0.5,
@@ -43,20 +48,22 @@ def test_loss_descends(tiny):
     batch = _batch(jax.random.PRNGKey(1))
     rng = jax.random.PRNGKey(2)
     losses = []
-    for i in range(30):
+    for i in range(16):
         # fixed rng => fixed (t, noise) => a deterministic objective that
         # the optimizer should drive down monotonically-ish
         state, loss = step(state, batch, rng)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0] * 0.6, losses
+    assert losses[-1] < losses[0] * 0.7, losses
 
 
-def test_ema_matches_reference_lerp(tiny):
+def test_ema_matches_reference_lerp_and_lags(tiny):
     """ema.copy_(model.lerp(ema, d)) == (1-d)*model + d*ema, checked over
-    several real optimizer steps (train_t2v_enterance.py:258-262)."""
+    several real optimizer steps (train_t2v_enterance.py:258-262); and with
+    d close to 1 the EMA must lag the raw params. One compiled step serves
+    both checks (a second train-step jit costs ~50 s of suite wall time)."""
     cfg, params, sched = tiny
-    d = 0.9
+    d = 0.995
     tcfg = vt.VideoTrainConfig(lr=1e-3, warmup_steps=0, decay_mode="none",
                                use_ema=True, ema_decay=d, p_zero=0.0)
     step = jax.jit(vt.make_video_train_step(cfg, sched, tcfg))
@@ -66,21 +73,11 @@ def test_ema_matches_reference_lerp(tiny):
     leaf = lambda tree: np.asarray(
         tree["input_blocks"][0][0]["w"], np.float64)
     ema_ref = leaf(state["params"])
-    for i in range(3):
+    for i in range(4):
         state, _ = step(state, batch, jax.random.PRNGKey(10 + i))
         ema_ref = (1 - d) * leaf(state["params"]) + d * ema_ref
     np.testing.assert_allclose(leaf(state["ema"]), ema_ref, rtol=2e-5, atol=1e-7)
 
-
-def test_ema_lags_params(tiny):
-    cfg, params, sched = tiny
-    tcfg = vt.VideoTrainConfig(lr=1e-3, warmup_steps=0, decay_mode="none",
-                               use_ema=True, ema_decay=0.999, p_zero=0.0)
-    step = jax.jit(vt.make_video_train_step(cfg, sched, tcfg))
-    state = vt.init_state(params, tcfg)
-    batch = _batch(jax.random.PRNGKey(4))
-    for i in range(4):
-        state, _ = step(state, batch, jax.random.PRNGKey(i))
     # params have moved; ema must stay much closer to the init than params
     p0 = np.asarray(params["out_norm_s"])
     dp = np.abs(np.asarray(state["params"]["out_norm_s"]) - p0).max()

@@ -62,6 +62,8 @@ def _encode_result(result: Dict[str, Any]) -> Dict[str, Any]:
         out["video_frames"] = [_encode_image(f) for f in result["video"]]
     if result.get("labels"):
         out["labels"] = {str(k): v for k, v in result["labels"].items()}
+    if result.get("transcript"):
+        out["transcript"] = result["transcript"]
     if result.get("error"):
         out["error"] = result["error"]
     return out
@@ -81,11 +83,15 @@ button{margin-right:.4em}#media img{max-width:240px;margin:.2em}
 </style></head><body>
 <h2>vitron-tpu</h2>
 <p>Unified pixel-level vision LLM - chat, segment, generate, edit, track.
-Draw on the image to mark a region (Box) or sketch a mask (Stroke).</p>
+Draw on the image to mark a region (Box) or sketch a mask (Stroke).
+Upload a video for tracking/editing (8 frames are sampled client-side),
+or an audio clip to refer to an object by speech.</p>
 <div id="log"></div>
 <textarea id="prompt" rows="2" placeholder="Ask something, or request a task
-(segment the dog / draw a red cube at ... / make a video of ...)"></textarea>
-<input type="file" id="image" accept="image/*">
+(segment the dog / track the object I circled / make a video of ...)"></textarea>
+<label>image <input type="file" id="image" accept="image/*"></label>
+<label>video <input type="file" id="video" accept="video/*"></label>
+<label>audio <input type="file" id="audio" accept="audio/*"></label>
 <div>
 <label><input type="radio" name="mode" value="box" checked> Box</label>
 <label><input type="radio" name="mode" value="stroke"> Stroke</label>
@@ -137,6 +143,31 @@ function maskB64(){const c=document.createElement('canvas');
 function append(cls,html){const log=document.getElementById('log');
   const d=document.createElement('div');d.className=cls;d.innerHTML=html;
   log.appendChild(d);log.scrollTop=log.scrollHeight;}
+function fileB64(f){return new Promise(r=>{const fr=new FileReader();
+  fr.onload=()=>r(fr.result.split(',')[1]);fr.readAsDataURL(f);});}
+// sample n frames uniformly (mirrors the server's 8-frame linspace,
+// media/preprocess.py) so videos upload as a small PNG list
+async function sampleVideo(f,n=8){
+  const url=URL.createObjectURL(f);const v=document.createElement('video');
+  v.src=url;v.muted=true;
+  await new Promise((res,rej)=>{v.onloadedmetadata=res;v.onerror=rej;});
+  const c=document.createElement('canvas');
+  c.width=v.videoWidth;c.height=v.videoHeight;
+  const g=c.getContext('2d');const frames=[];
+  for(let i=0;i<n;i++){
+    const t=Math.min(v.duration*i/Math.max(n-1,1),
+                     Math.max(v.duration-0.05,0));
+    await new Promise(res=>{v.onseeked=res;v.currentTime=t;});
+    g.drawImage(v,0,0);
+    frames.push(c.toDataURL('image/png').split(',')[1]);}
+  URL.revokeObjectURL(url);return frames;}
+// returned-frames playback: cycle the PNG list at 8 fps
+function playFrames(frames,w){
+  const img=document.createElement('img');img.width=w||320;let i=0;
+  img.src='data:image/png;base64,'+frames[0];
+  setInterval(()=>{i=(i+1)%frames.length;
+    img.src='data:image/png;base64,'+frames[i];},125);
+  return img;}
 async function send(){
   const media=document.getElementById('media'); media.innerHTML='';
   const promptText=document.getElementById('prompt').value;
@@ -144,8 +175,12 @@ async function send(){
   const body={prompt:promptText,
               greedy:document.getElementById('greedy').checked};
   const f=document.getElementById('image').files[0];
-  if(f){body.image=await new Promise(r=>{const fr=new FileReader();
-    fr.onload=()=>r(fr.result.split(',')[1]);fr.readAsDataURL(f);});}
+  if(f){body.image=await fileB64(f);}
+  const vf=document.getElementById('video').files[0];
+  if(vf){try{body.video_frames=await sampleVideo(vf);}
+    catch(e){append('turn-a err','<b>error:</b> video decode failed');return;}}
+  const af=document.getElementById('audio').files[0];
+  if(af){body.audio=await fileB64(af);}
   if(box&&mode()==='box'){body.region=scaleBox(box);}
   if(hasStroke){body.sketch=maskB64();}
   const resp=await fetch('/chat',{method:'POST',
@@ -154,12 +189,14 @@ async function send(){
   if(j.error){append('turn-a err','<b>error:</b> '+j.error);return;}
   append('turn-a','<b>vitron'+(j.task?' ['+j.task+']':'')+':</b> '+
          (j.text||j.raw||''));
+  if(j.transcript)append('turn-a','<i>heard:</i> '+j.transcript);
   for(const k of ['image','overlay','mask']) if(j[k])
     media.innerHTML+=`<img src="data:image/png;base64,${j[k]}">`;
-  if(j.video_frames) for(const fimg of j.video_frames)
-    media.innerHTML+=`<img src="data:image/png;base64,${fimg}" width=160>`;
-  if(j.overlay_frames) for(const fimg of j.overlay_frames)
-    media.innerHTML+=`<img src="data:image/png;base64,${fimg}" width=160>`;
+  for(const k of ['video_frames','overlay_frames']) if(j[k]){
+    media.appendChild(playFrames(j[k]));
+    for(const fimg of j[k]){const im=document.createElement('img');
+      im.width=96;im.src='data:image/png;base64,'+fimg;
+      media.appendChild(im);}}
 }
 </script></body></html>"""
 
@@ -232,15 +269,44 @@ def make_handler(system, pipeline=None):
                 video = None
                 if req.get("video_frames"):
                     video = np.stack([_decode_image(f) for f in req["video_frames"]])
+                extra = {}
+                audio_tmp = None
+                if req.get("audio"):
+                    # audio file bytes -> temp file -> the ASR hook
+                    # transcribes host-side when module B routes with audio
+                    # (runtime/system.py handle_b; reference whisper flow
+                    # demo_code/app.py:74-77)
+                    import os
+                    import tempfile
+
+                    raw = base64.b64decode(req["audio"])
+                    tmp = tempfile.NamedTemporaryFile(
+                        suffix=".audio", delete=False)
+                    tmp.write(raw)
+                    tmp.close()
+                    audio_tmp = tmp.name
+                    extra["audio"] = audio_tmp
+                if req.get("audio_transcript"):
+                    extra["audio_transcript"] = str(req["audio_transcript"])
                 sampling = SamplingConfig(
                     temperature=float(req.get("temperature", 0.2)),
                     top_p=float(req.get("top_p", 0.7)),
                     max_new_tokens=int(req.get("max_new_tokens", 1024)),
                     greedy=bool(req.get("greedy", False)))
-                result = pipeline.submit(
-                    req.get("prompt", ""), image=image, video=video,
-                    sketch_mask=sketch,
-                    region_box=req.get("region"), sampling=sampling).result()
+                try:
+                    result = pipeline.submit(
+                        req.get("prompt", ""), image=image, video=video,
+                        sketch_mask=sketch,
+                        region_box=req.get("region"), sampling=sampling,
+                        extra=extra or None).result()
+                finally:
+                    if audio_tmp:
+                        import os
+
+                        try:
+                            os.unlink(audio_tmp)
+                        except OSError:
+                            pass
                 self._send(200, _encode_result(result))
             except Exception as e:  # report, don't crash the server
                 self._send(500, {"status": "error", "error": f"{type(e).__name__}: {e}"})

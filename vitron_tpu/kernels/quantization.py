@@ -64,7 +64,23 @@ def _unpack_int4(packed: jax.Array) -> jax.Array:
     return stacked.reshape(shape)
 
 
-def promote_int4(tree):
+def w4a8_default() -> bool:
+    """W4A8 decode default: OFF (VITRON_W4A8=1 opts in). Read at TRACE
+    time — flip the env var before building programs, not mid-process.
+
+    Measured negative result (v5e, 7B int4 bench decode, r4): the integer
+    s8 x s4 MXU dot does NOT beat the s4->bf16 convert path — 143.6 tok/s
+    ([1,K] matvec), 154.6 (padded [8,K] GEMM), 150.9 (static activation
+    scale, no absmax reduction) vs 156.8 baseline. The padded bf16 GEMM's
+    s4 convert already rides the dot's memory pipeline, so removing the
+    convert buys nothing and the activation-quant chain adds VPU work.
+    Kept as an option for future toolchains; docs/PERF.md r4 attribution."""
+    import os
+
+    return os.environ.get("VITRON_W4A8", "0") == "1"
+
+
+def promote_int4(tree, a8=None):
     """Expand packed int4 leaves {"q4", "s"} to native s4 arrays {"q", "s"}.
 
     XLA's s4 dequantize fuses into the dot's operand read on TPU (measured
@@ -74,11 +90,23 @@ def promote_int4(tree):
     boundary on current runtimes, so call this INSIDE the jitted decode
     program (generate_scan does); the one-time expansion (~40 ms for 7B)
     amortizes over the generated tokens.
-    """
+
+    a8: promote to the W4A8 form {"qa8", "s"} instead — decode matvecs then
+    quantize activations to int8 per row and run an INTEGER dot (s8 x s4,
+    int32 accumulate) on the MXU, skipping the s4->bf16 convert pipeline
+    that caps the weight stream at ~570 GB/s (docs/PERF.md r4 attribution;
+    measured 2.4x faster per decode-shape layer). Activation quant error is
+    ~2^-8 relative — the same magnitude as bf16 rounding — but gradients
+    differ, so the QLoRA trainer passes a8=False explicitly. None = the
+    VITRON_W4A8 env default (on)."""
+    if a8 is None:
+        a8 = w4a8_default()
+    key = "qa8" if a8 else "q"
+
     def promote(w):
         if isinstance(w, dict) and "q4" in w:
             extra = {k: v for k, v in w.items() if k not in ("q4",)}
-            return {**extra, "q": _unpack_int4(w["q4"]).astype(jnp.int4)}
+            return {**extra, key: _unpack_int4(w["q4"]).astype(jnp.int4)}
         return w
 
     return jax.tree.map(promote, tree,
@@ -89,8 +117,36 @@ def dequantize(w: Union[jax.Array, Dict[str, jax.Array]]) -> jax.Array:
     if isinstance(w, dict):
         if "q4" in w:
             return _unpack_int4(w["q4"]).astype(jnp.float32) * w["s"]
+        if "qa8" in w:
+            return w["qa8"].astype(jnp.float32) * w["s"]
         return w["q"].astype(jnp.float32) * w["s"]
     return w
+
+
+def _w4a8_matmul(x: jax.Array, w: Dict[str, jax.Array]) -> jax.Array:
+    """Integer decode matvec: per-row symmetric int8 activation quant, then
+    s8 x s4 dot with int32 accumulate — the MXU's integer path consumes the
+    s4 operand directly, so the weight stream skips the s4->bf16 convert
+    (the r3 bottleneck at ~570 GB/s). y = (xq @ q) * sx * sw."""
+    import os
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    rows = xf.shape[0]
+    if 0 < rows < 8:
+        # same MXU trick as _quantized_dot: an [8, K] integer GEMM goes to
+        # the MXU, a [1, K] matvec lowers to a VPU multiply-reduce
+        xf = jnp.pad(xf, ((0, 8 - rows), (0, 0)))
+    if os.environ.get("VITRON_W4A8_STATIC"):
+        sx = jnp.full((xf.shape[0], 1), float(os.environ["VITRON_W4A8_STATIC"]),
+                      jnp.float32)
+    else:
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                         1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, w["qa8"], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * w["s"].astype(jnp.float32)
+    return y[:rows].reshape(lead + (y.shape[-1],)).astype(x.dtype)
 
 
 def matmul_maybe_quantized(x: jax.Array, w) -> jax.Array:
@@ -109,6 +165,12 @@ def matmul_maybe_quantized(x: jax.Array, w) -> jax.Array:
                   @ w["lora_b"].astype(jnp.float32)) * w["lora_scale"]
         y = matmul_maybe_quantized(x, base)
         return y + bypass.astype(y.dtype)
+    if isinstance(w, dict) and "qa8" in w:
+        if w["qa8"].ndim == 2:
+            return _w4a8_matmul(x, w)
+        # stacked (non-scan) layers: fall back to the convert path
+        y = _quantized_dot(x, w["qa8"])
+        return y * w["s"].astype(y.dtype)
     if isinstance(w, dict):
         if "q4" in w:
             if w["q4"].ndim == 2 and jax.default_backend() == "tpu":

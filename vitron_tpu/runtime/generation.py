@@ -112,6 +112,30 @@ class Generator:
             self._chunk_fns[key] = jax.jit(_run, donate_argnums=(2,))
         return self._chunk_fns[key]
 
+    def _get_spec_seg_fns(self, n_new, k, ngram, eos_ids, seg):
+        """Segmented variant for requests with a keyword stopper: the loop
+        returns to the host every `seg` emitted tokens so the stopper can
+        end generation early (the whole-budget program would always pay the
+        full max_new_tokens latency on stop-string-terminated requests)."""
+        key = ("specseg", n_new, k, ngram, tuple(eos_ids), seg)
+        if key not in self._chunk_fns:
+            from vitron_tpu.runtime import speculative as spec
+
+            def _init(tok0, cache, prompt_ids, seq_len):
+                return spec.spec_init_state(tok0, cache, prompt_ids, seq_len,
+                                            n_new, k, eos_ids)
+
+            def _seg(params, state, limit):
+                from vitron_tpu.kernels.quantization import promote_int4
+
+                return spec.speculative_segment(
+                    promote_int4(params), self.cfg, state, seg, limit,
+                    k=k, ngram=ngram, eos_ids=eos_ids)
+
+            self._chunk_fns[key] = (jax.jit(_init, donate_argnums=(1,)),
+                                    jax.jit(_seg, donate_argnums=(1,)))
+        return self._chunk_fns[key]
+
     def _get_chunk_fn(self, chunk, temperature, top_p, greedy, eos_ids):
         """Jitted chunked decode: up to `chunk` tokens in ONE program with
         device-side EOS early exit (while_loop). Each tunnel dispatch costs
@@ -256,7 +280,7 @@ class Generator:
         done = np.zeros(b, bool)
         pos = jnp.asarray(seq_lens)[:, None]
 
-        if speculative:
+        if speculative and stopper is None:
             spec_fn = self._get_spec_fn(sampling.max_new_tokens, spec_k,
                                         spec_ngram, sampling.eos_ids)
             toks, out_n, steps = spec_fn(
@@ -273,8 +297,63 @@ class Generator:
                 row.append(int(t))
                 if int(t) in sampling.eos_ids:
                     break
-                if stopper is not None and stopper.should_stop(row):
+            return [row]
+
+        if speculative:
+            # stopper present: run the loop in segments with a host-side
+            # keyword-stop check between them (a stop string then costs at
+            # most one segment of overshoot instead of max_new_tokens).
+            # ADAPTIVE: a speculation step costs 1.46x a plain step
+            # (docs/PERF.md), so below ~1.5 accepted tokens/forward
+            # speculation is a net loss — measured 1.04 on caption-style
+            # novel text vs 1.5+ on protocol/quoting text (bench
+            # spec_tpf_* extras). After each segment the cumulative
+            # acceptance decides whether to keep speculating or finish
+            # with plain chunked decode on the same cache.
+            seg = min(64, sampling.max_new_tokens)
+            init_fn, seg_fn = self._get_spec_seg_fns(
+                sampling.max_new_tokens, spec_k, spec_ngram,
+                sampling.eos_ids, seg)
+            state = init_fn(token[0, 0], cache,
+                            jnp.asarray(plan.token_ids[0], jnp.int32),
+                            jnp.asarray(plan.seq_lens[0], jnp.int32))
+            row = [int(token[0, 0])]
+            forwards = 0
+            tpf_min = float(_os.environ.get("VITRON_SPEC_TPF_MIN", "1.5"))
+            stop = (row[0] in sampling.eos_ids) or stopper.should_stop(row)
+            fell_back = False
+            while not stop and len(row) < sampling.max_new_tokens:
+                limit = jnp.int32(sampling.max_new_tokens - len(row))
+                toks, out_n, steps, state = seg_fn(params, state, limit)
+                toks_host = np.asarray(toks)
+                n, forwards = int(out_n), forwards + int(steps)
+                if n == 0:
+                    break  # device done flag (EOS mid-previous-segment)
+                for t in toks_host[:n]:
+                    row.append(int(t))
+                    if int(t) in sampling.eos_ids or stopper.should_stop(row):
+                        stop = True
+                        break
+                if (not stop and forwards >= 8
+                        and (len(row) - 1) / forwards < tpf_min):
+                    fell_back = True
                     break
+            if fell_back and len(row) < sampling.max_new_tokens:
+                # low acceptance: resume as plain chunked decode on the
+                # speculative cache (state carries the accepted frontier)
+                last_tok, slot, pos_s = state[0], state[1], state[2]
+                cache = llama.KVCache(k=state[3], v=state[4], index=slot,
+                                      valid=state[5])
+                out_tokens = [row]
+                self._generate_chunked(
+                    jnp.asarray([[int(last_tok)]], jnp.int32),
+                    jnp.asarray([[int(pos_s)]], jnp.int32), cache,
+                    out_tokens, np.zeros(1, bool), rng, sampling, stopper,
+                    decode_chunk or 128, record_first=False)
+                row = out_tokens[0]
+            self.last_spec_stats = {"emitted": len(row),
+                                    "forwards": forwards + 1,  # +prefill
+                                    "fell_back": fell_back}
             return [row]
 
         if decode_chunk:
@@ -307,17 +386,25 @@ class Generator:
         return out_tokens
 
     def _generate_chunked(self, token, pos, cache, out_tokens, done, rng,
-                          sampling: SamplingConfig, stopper, chunk: int):
+                          sampling: SamplingConfig, stopper, chunk: int,
+                          record_first: bool = True):
+        """record_first=False resumes a partially-decoded row: `token` is
+        the last ALREADY-EMITTED token (decode input only) and the budget
+        counts the tokens already in out_tokens (the adaptive-speculation
+        fallback path)."""
         b = len(out_tokens)
-        # record the prefill-sampled first token (host, same as step path)
-        tok_host = np.asarray(token[:, 0])
-        for i in range(b):
-            out_tokens[i].append(int(tok_host[i]))
-            if int(tok_host[i]) in sampling.eos_ids:
-                done[i] = True
-            elif stopper is not None and stopper.should_stop(out_tokens[i]):
-                done[i] = True
-        produced = 1
+        if record_first:
+            # record the prefill-sampled first token (host, same as step path)
+            tok_host = np.asarray(token[:, 0])
+            for i in range(b):
+                out_tokens[i].append(int(tok_host[i]))
+                if int(tok_host[i]) in sampling.eos_ids:
+                    done[i] = True
+                elif stopper is not None and stopper.should_stop(out_tokens[i]):
+                    done[i] = True
+            produced = 1
+        else:
+            produced = max(len(row) for row in out_tokens)
         done_dev = jnp.asarray(done)
         chunk_fn = self._get_chunk_fn(chunk, sampling.temperature,
                                       sampling.top_p, sampling.greedy,

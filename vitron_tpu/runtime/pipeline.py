@@ -100,10 +100,10 @@ class ServingPipeline:
                  num_kv_blocks: int = 512):
         self.system = system
         self.batcher = None
-        if batched:
+        gen = getattr(system.engine, "generator", None)
+        if batched and getattr(gen, "params", None) is not None:
             from vitron_tpu.runtime.batching import ContinuousBatcher
 
-            gen = system.engine.generator
             self.batcher = ContinuousBatcher(
                 gen.params, gen.cfg, chunk=decode_chunk,
                 max_active=max_active, num_blocks=num_kv_blocks)

@@ -86,21 +86,13 @@ def _first_eos_truncate(g: jax.Array, acc: jax.Array, eos: jax.Array):
     return n_emit, any_eos
 
 
-def speculative_loop(
-    params,
-    cfg: vitron_model.VitronConfig,
-    tok0: jax.Array,          # scalar int32: first (greedy) token
-    cache: llama.KVCache,     # after prefill; needs >= n_new + k + 1 free slots
-    prompt_ids: jax.Array,    # [pad_len] int32 spliced row (match material)
-    seq_len: jax.Array,       # scalar int32: true spliced length
-    n_new: int,
-    k: int = 4,
-    ngram: int = 2,
-    eos_ids: Tuple[int, ...] = (2,),
-):
-    """The decode loop only (prefill done by the caller). Params must
-    already be promoted/densified as the caller's decode path expects.
-    Returns (tokens [n_new] with -1 past the end, n_emitted, n_forwards)."""
+def spec_init_state(tok0: jax.Array, cache: llama.KVCache,
+                    prompt_ids: jax.Array, seq_len: jax.Array,
+                    n_new: int, k: int,
+                    eos_ids: Tuple[int, ...] = (2,)):
+    """Build the resumable decode-loop state after prefill. The history
+    buffer is sized for the TOTAL emission budget `n_new`; segments then
+    consume it incrementally (speculative_segment)."""
     eos = jnp.asarray(list(eos_ids) or [-1], jnp.int32)
     pad_len = prompt_ids.shape[0]
     hist_size = pad_len + n_new + k + 1
@@ -110,14 +102,34 @@ def speculative_loop(
     seq0 = seq_len.astype(jnp.int32)
     tok0 = tok0.astype(jnp.int32)
     history = jax.lax.dynamic_update_slice(history, tok0[None], (seq0,))
-
-    out = jnp.full((n_new + k + 1,), -1, jnp.int32)
-    out = out.at[0].set(tok0)
     tok0_eos = jnp.any(tok0 == eos)
+    # (last_tok, slot, pos, ck, cv, cvalid, history, hist_len, done, steps)
+    return (tok0, cache.index, seq0, cache.k, cache.v, cache.valid,
+            history, seq0 + 1, tok0_eos, jnp.int32(0))
+
+
+def speculative_segment(
+    params,
+    cfg: vitron_model.VitronConfig,
+    state,
+    seg: int,                 # static segment emission budget
+    limit: jax.Array,         # scalar int32: remaining TOTAL budget
+    k: int = 4,
+    ngram: int = 2,
+    eos_ids: Tuple[int, ...] = (2,),
+):
+    """Run the speculative loop for up to min(seg, limit) emitted tokens,
+    then return to the host (so keyword stoppers can be checked between
+    segments instead of paying the full max_new_tokens latency, and the
+    segment program is reused across requests of any budget). Returns
+    (tokens [seg] with -1 past the end, n_emitted, n_forwards, state)."""
+    eos = jnp.asarray(list(eos_ids) or [-1], jnp.int32)
+    budget = jnp.minimum(jnp.int32(seg), limit.astype(jnp.int32))
+    out = jnp.full((seg + k + 1,), -1, jnp.int32)
 
     def cond(carry):
         out_n, done = carry[9], carry[10]
-        return (out_n < n_new) & ~done
+        return (out_n < budget) & ~done
 
     def body(carry):
         (last_tok, slot, pos, ck, cv, cvalid, history, hist_len, out_buf,
@@ -132,8 +144,8 @@ def speculative_loop(
         # accepted drafts: longest prefix where draft[i] == greedy g[i]
         acc = jnp.cumprod((draft == g[:k]).astype(jnp.int32)).sum()
         n_emit, any_eos = _first_eos_truncate(g, acc, eos)
-        # cap at the requested budget so hist/slot track the KEPT tail only
-        n_emit = jnp.minimum(n_emit, n_new - out_n)
+        # cap at the remaining budget so hist/slot track the KEPT tail only
+        n_emit = jnp.minimum(n_emit, budget - out_n)
         out_buf = jax.lax.dynamic_update_slice(out_buf, g, (out_n,))
         history = jax.lax.dynamic_update_slice(history, g, (hist_len,))
         last_tok = g[jnp.maximum(n_emit - 1, 0)]
@@ -145,13 +157,44 @@ def speculative_loop(
                 history, hist_len + n_emit, out_buf, out_n + n_emit,
                 done | any_eos, steps + 1)
 
-    init = (tok0, cache.index, seq0, cache.k, cache.v, cache.valid,
-            history, seq0 + 1, out, jnp.int32(1), tok0_eos, jnp.int32(0))
+    (last_tok, slot, pos, ck, cv, cvalid, history, hist_len, done,
+     steps0) = state
+    init = (last_tok, slot, pos, ck, cv, cvalid, history, hist_len, out,
+            jnp.int32(0), done, jnp.int32(0))
     final = jax.lax.while_loop(cond, body, init)
     out_buf, out_n, steps = final[8], final[9], final[11]
     # tokens past out_n are stale write-window garbage: mask to -1
-    toks = jnp.where(jnp.arange(n_new + k + 1) < out_n, out_buf, -1)[:n_new]
-    return toks, out_n, steps
+    toks = jnp.where(jnp.arange(seg + k + 1) < out_n, out_buf, -1)[:seg]
+    new_state = (final[0], final[1], final[2], final[3], final[4], final[5],
+                 final[6], final[7], final[10], steps0 + steps)
+    return toks, out_n, steps, new_state
+
+
+def speculative_loop(
+    params,
+    cfg: vitron_model.VitronConfig,
+    tok0: jax.Array,          # scalar int32: first (greedy) token
+    cache: llama.KVCache,     # after prefill; needs >= n_new + k + 1 free slots
+    prompt_ids: jax.Array,    # [pad_len] int32 spliced row (match material)
+    seq_len: jax.Array,       # scalar int32: true spliced length
+    n_new: int,
+    k: int = 4,
+    ngram: int = 2,
+    eos_ids: Tuple[int, ...] = (2,),
+):
+    """The decode loop only (prefill done by the caller), whole budget in
+    one program. Params must already be promoted/densified as the caller's
+    decode path expects. Returns (tokens [n_new] with -1 past the end,
+    n_emitted, n_forwards) where n_emitted INCLUDES tok0."""
+    state = spec_init_state(tok0, cache, prompt_ids, seq_len, n_new, k,
+                            eos_ids)
+    # budget n_new - 1: tok0 is already emitted (held by the caller)
+    toks, out_n, steps, _ = speculative_segment(
+        params, cfg, state, n_new, jnp.int32(n_new - 1), k=k, ngram=ngram,
+        eos_ids=eos_ids)
+    toks = jnp.concatenate([state[0][None], toks])[:n_new]
+    toks = jnp.where(jnp.arange(n_new) < out_n + 1, toks, -1)
+    return toks, out_n + 1, steps
 
 
 def speculative_decode(

@@ -83,8 +83,9 @@ def make_lora_train_step(cfg: vitron_model.VitronConfig, train_cfg: TrainConfig,
 
         # frozen int4 base: expand packed nibbles to native s4 once per step
         # inside the jitted program (fuses into the dots; ~40 ms at 7B,
-        # small next to a full fwd+bwd)
-        base = promote_int4(base)
+        # small next to a full fwd+bwd). a8=False: the W4A8 integer-dot
+        # serving path quantizes activations, which would perturb gradients
+        base = promote_int4(base, a8=False)
         loss, grads = jax.value_and_grad(loss_fn)(trainable, base, batch)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
