@@ -492,16 +492,25 @@ def bench_video_unet() -> dict:
             return (x - 0.01 * eps).astype(x.dtype), None
         return jax.lax.scan(body, x, jnp.arange(nsteps, dtype=jnp.float32))[0]
 
-    np.asarray(steps(params, x0, ctx), dtype=np.float32)
+    exe = steps.lower(params, x0, ctx).compile()
+    # XLA's own 2MNK count. TPU cost_analysis counts a while-loop body
+    # ONCE regardless of trip count (verified: nsteps=1 and nsteps=3 both
+    # report 86.11 TF), so the executable's flops IS the per-step count —
+    # and it confirms the r3 analytic 86.1 TF/step.
+    cost = exe.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    flops = cost.get("flops", 0.0)
+    np.asarray(exe(params, x0, ctx), dtype=np.float32)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(steps(params, x0, ctx), dtype=np.float32)
+        np.asarray(exe(params, x0, ctx), dtype=np.float32)
         best = min(best, time.perf_counter() - t0)
     per = (best - 0.033) / nsteps
-    flops = 86.1e12  # analytic conv+attention count for this plan
     return {"video_unet_cfg_steps_per_s": round(1.0 / per, 2),
-            "video_unet_mfu": round(flops / per / V5E_BF16_FLOPS, 3)}
+            "video_unet_mfu": round(flops / per / V5E_BF16_FLOPS, 3),
+            "video_unet_tf_per_step": round(flops / 1e12, 1)}
 
 
 def bench_sd_unet() -> dict:

@@ -147,3 +147,108 @@ def test_dpt_depth_tiny():
         0, 255, (40, 48, 3), np.uint8))
     assert hint.shape == (40, 48, 3)
     assert hint.min() >= 0.0 and hint.max() <= 1.0
+
+
+def test_imlp_converter_parity_real_geometry():
+    """convert_imlp_torch + imlp_forward vs the vendored reference IMLP at
+    every released NLA geometry (atlas_utils.py:27-73) — pins the `hidden.{i}`
+    key naming, positional-encoding layout, skip concat, and tanh head."""
+    torch = pytest.importorskip("torch")
+    from tests.conftest import load_reference_package_module
+
+    imlp_mod = load_reference_package_module(
+        "modules.StableVideo.stablevideo.implicit_neural_networks")
+    geoms = {
+        "fg_map": (dict(input_dim=3, output_dim=2, hidden_dim=256,
+                        use_positional=False, num_layers=6, skip_layers=[]),
+                   stablevideo.IMLPConfig(input_dim=3, output_dim=2,
+                                          num_layers=6, positional_dim=0,
+                                          skip_layers=()), True),
+        "atlas": (dict(input_dim=2, output_dim=3, hidden_dim=256,
+                       use_positional=True, positional_dim=10, num_layers=8,
+                       skip_layers=[4, 7]),
+                  stablevideo.IMLPConfig(input_dim=2, output_dim=3,
+                                         num_layers=8, positional_dim=10,
+                                         skip_layers=(4, 7)), True),
+        "alpha": (dict(input_dim=3, output_dim=1, hidden_dim=256,
+                       use_positional=True, positional_dim=5, num_layers=8,
+                       skip_layers=[]),
+                  stablevideo.IMLPConfig(input_dim=3, output_dim=1,
+                                         num_layers=8, positional_dim=5,
+                                         skip_layers=()), False),
+    }
+    rs = np.random.RandomState(0)
+    for name, (tkw, jcfg, use_tanh) in geoms.items():
+        torch.manual_seed(0)
+        ref = imlp_mod.IMLP(**tkw, verbose=False, use_tanh=use_tanh).eval()
+        pts = (rs.rand(37, tkw["input_dim"]).astype(np.float32) * 2 - 1)
+        with torch.no_grad():
+            want = ref(torch.tensor(pts)).numpy()
+        params = stablevideo.convert_imlp_torch(ref.state_dict())
+        got = np.asarray(stablevideo.imlp_forward(
+            params, jcfg, jnp.asarray(pts), use_tanh=use_tanh))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4,
+                                   err_msg=name)
+
+
+def test_imlp_converter_rejects_unknown_keys():
+    with pytest.raises(ValueError):
+        stablevideo.convert_imlp_torch({"bogus.0.weight": np.zeros((2, 2))})
+
+
+def test_atlas_uvs_matches_reference_frame_eval():
+    """atlas_uvs vs the reference get_frames_data evaluation
+    (atlas_utils.py:92-120): max-dim (x, y) normalization, t normalized by
+    maximum_number_of_frames/2, and the 0.99*a+0.001 alpha clamp, computed
+    here with the vendored torch IMLPs at the released geometry."""
+    torch = pytest.importorskip("torch")
+    from tests.conftest import load_reference_package_module
+
+    imlp_mod = load_reference_package_module(
+        "modules.StableVideo.stablevideo.implicit_neural_networks")
+    torch.manual_seed(3)
+    fg_t = imlp_mod.IMLP(input_dim=3, output_dim=2, hidden_dim=256,
+                         use_positional=False, num_layers=6, skip_layers=[],
+                         verbose=False).eval()
+    bg_t = imlp_mod.IMLP(input_dim=3, output_dim=2, hidden_dim=256,
+                         use_positional=False, num_layers=4, skip_layers=[],
+                         verbose=False).eval()
+    al_t = imlp_mod.IMLP(input_dim=3, output_dim=1, hidden_dim=256,
+                         use_positional=True, positional_dim=5, num_layers=8,
+                         skip_layers=[], verbose=False).eval()
+
+    resy, resx, t_frames, max_frames = 8, 12, 3, 5
+    # reference evaluation loop (atlas_utils.py:105-119), per-pixel
+    norm = torch.tensor([max(resx, resy) / 2, max(resx, resy) / 2,
+                         max_frames / 2])
+    want_fg = np.zeros((t_frames, resy, resx, 2), np.float32)
+    want_bg = np.zeros((t_frames, resy, resx, 2), np.float32)
+    want_a = np.zeros((t_frames, resy, resx, 1), np.float32)
+    with torch.no_grad():
+        for t in range(t_frames):
+            gx, gy = torch.meshgrid(torch.arange(resx), torch.arange(resy),
+                                    indexing="ij")
+            idx = torch.stack([gx, gy, torch.full_like(gx, t)], -1).reshape(-1, 3)
+            pts = idx / norm - 1
+            f, b, a = fg_t(pts), bg_t(pts), al_t(pts)
+            a = 0.99 * (0.5 * (a + 1.0)) + 0.001
+            for arr, v in ((want_fg, f), (want_bg, b), (want_a, a)):
+                arr[t, idx[:, 1], idx[:, 0]] = v.numpy()
+
+    cfgs = {
+        "fg": stablevideo.IMLPConfig(input_dim=3, output_dim=2, num_layers=6,
+                                     positional_dim=0, skip_layers=()),
+        "bg": stablevideo.IMLPConfig(input_dim=3, output_dim=2, num_layers=4,
+                                     positional_dim=0, skip_layers=()),
+        "alpha": stablevideo.IMLPConfig(input_dim=3, output_dim=1,
+                                        num_layers=8, positional_dim=5,
+                                        skip_layers=()),
+    }
+    fg = stablevideo.convert_imlp_torch(fg_t.state_dict())
+    bg = stablevideo.convert_imlp_torch(bg_t.state_dict())
+    al = stablevideo.convert_imlp_torch(al_t.state_dict())
+    got_fg, got_bg, got_a = jax.tree.map(np.asarray, stablevideo.atlas_uvs(
+        fg, bg, al, cfgs, t_frames, resy, resx, max_frames=max_frames))
+    np.testing.assert_allclose(got_fg, want_fg, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_bg, want_bg, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_a, want_a, rtol=2e-4, atol=2e-4)

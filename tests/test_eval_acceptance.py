@@ -1,16 +1,14 @@
-"""File-level acceptance: eval_suite --weights on a synthetic checkpoint dir.
+"""File-level acceptance: eval_suite --weights on synthetic checkpoint dirs.
 
-Every prior loader test fed converter functions synthetic DICTS; this one
-goes through the DISK path the acceptance run uses — real HF-format
-safetensors written by transformers' own save_pretrained, a peft-style LoRA
-adapter, and non_lora_trainables adapters — so a key-schema drift in any
-loader breaks here before it breaks on real weights (VERDICT r1 weak #4)."""
-import json
-
+Every prior loader test fed converter functions synthetic DICTS; these go
+through the DISK path the acceptance run uses — real HF-format safetensors
+written by transformers' own save_pretrained, a peft-style LoRA adapter,
+non_lora_trainables adapters, and reference-format .pt/.pth bundles saved
+from the VENDORED torch modules (tests/synthetic_weights.py) — so a
+key-schema drift in any loader breaks here before it breaks on real
+weights (VERDICT r1 weak #4; r3 missing #1 one-command manifest)."""
 import numpy as np
 import pytest
-
-import jax
 
 from vitron_tpu.apps import eval_suite
 
@@ -18,101 +16,93 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
 
-class _StubTok:
-    bos_token_id, eos_token_id = 1, 2
-
-    def __call__(self, s):
-        class R:
-            pass
-
-        r = R()
-        r.input_ids = [1] + [abs(hash(w)) % 200 + 10 for w in s.split()]
-        return r
-
-    def decode(self, ids, skip_special_tokens=True):
-        return " ".join(str(t) for t in ids)
-
-
 @pytest.fixture(scope="module")
 def weights_dir(tmp_path_factory):
+    """HF-format components only (fast, no vendored reference needed)."""
+    from tests import synthetic_weights
+
     w = tmp_path_factory.mktemp("weights")
-
-    # ---- tiny HF llama written by transformers itself
-    hf_cfg = transformers.LlamaConfig(
-        vocab_size=256, hidden_size=64, intermediate_size=128,
-        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
-        max_position_embeddings=128, tie_word_embeddings=False)
-    torch.manual_seed(0)
-    model = transformers.LlamaForCausalLM(hf_cfg)
-    model.save_pretrained(w / "vicuna-7b", safe_serialization=True)
-
-    # ---- peft-style LoRA adapter on q_proj of layer 0 + adapters
-    lora = w / "vitron_lora"
-    lora.mkdir()
-    (lora / "adapter_config.json").write_text(json.dumps(
-        {"r": 2, "lora_alpha": 4}))
-    from safetensors.numpy import save_file
-
-    rs = np.random.RandomState(0)
-    save_file({
-        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight":
-            rs.randn(2, 64).astype(np.float32) * 0.01,
-        "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight":
-            rs.randn(64, 2).astype(np.float32) * 0.01,
-    }, str(lora / "adapter_model.safetensors"))
-
-    # ---- non_lora_trainables: projector + region extractor (torch .bin,
-    # the reference's builder.py:63-79 format)
-    vision_h, llm_h = 32, 64
-    nl = {
-        "model.mm_projector.0.weight": torch.randn(llm_h, vision_h) * 0.02,
-        "model.mm_projector.0.bias": torch.zeros(llm_h),
-        "model.mm_projector.2.weight": torch.randn(llm_h, llm_h) * 0.02,
-        "model.mm_projector.2.bias": torch.zeros(llm_h),
-        "model.region_extractor.region_linear.layers.0.weight": torch.randn(llm_h, vision_h) * 0.02,
-        "model.region_extractor.region_linear.layers.0.bias": torch.zeros(llm_h),
-        "model.region_extractor.region_linear.layers.1.weight": torch.randn(llm_h, llm_h) * 0.02,
-        "model.region_extractor.region_linear.layers.1.bias": torch.zeros(llm_h),
-        "model.region_extractor.region_linear.layers.2.weight": torch.randn(llm_h, llm_h) * 0.02,
-        "model.region_extractor.region_linear.layers.2.bias": torch.zeros(llm_h),
-        "model.region_extractor.loc_encoder.loc_encoder.0.weight": torch.randn(llm_h, 4) * 0.02,
-        "model.region_extractor.loc_encoder.loc_encoder.0.bias": torch.zeros(llm_h),
-        "model.region_extractor.loc_encoder.loc_encoder.2.weight": torch.randn(llm_h, llm_h) * 0.02,
-        "model.region_extractor.loc_encoder.loc_encoder.2.bias": torch.zeros(llm_h),
-    }
-    torch.save(nl, lora / "non_lora_trainables.bin")
-
-    # ---- tiny HF CLIP vision tower written by transformers itself
-    clip_cfg = transformers.CLIPVisionConfig(
-        hidden_size=vision_h, intermediate_size=64, num_hidden_layers=3,
-        num_attention_heads=4, image_size=28, patch_size=7)
-    torch.manual_seed(1)
-    tower = transformers.CLIPVisionModel(clip_cfg)
-    tower.save_pretrained(w / "clip_vit_l14", safe_serialization=False)
+    synthetic_weights.build_llama_lora_clip(w, "tiny")
     return w
 
 
-def test_acceptance_suite_from_disk(weights_dir, monkeypatch):
-    monkeypatch.setattr(transformers.AutoTokenizer, "from_pretrained",
-                        lambda *a, **k: _StubTok())
-    report = eval_suite.run_acceptance_suite(str(weights_dir), seed=0)
+@pytest.fixture(scope="module")
+def full_weights_dir(weights_dir):
+    """Every manifest row, reference-format bundles included."""
+    from tests import synthetic_weights
+
+    synthetic_weights.build_seem(weights_dir)
+    synthetic_weights.build_gligen(weights_dir)
+    synthetic_weights.build_nla(weights_dir)
+    synthetic_weights.build_video_unets(weights_dir)
+    return weights_dir
+
+
+def test_acceptance_suite_from_disk(weights_dir):
+    report = eval_suite.run_acceptance_suite(str(weights_dir), seed=0,
+                                             geometry="tiny")
 
     qa = report["1_image_qa"]
     assert "reply_sha16" in qa, qa
-    assert len(qa["reply"]) > 0
+    assert qa["pass"] is True
     # deterministic: re-running produces the same acceptance hash
-    report2 = eval_suite.run_acceptance_suite(str(weights_dir), seed=0)
+    report2 = eval_suite.run_acceptance_suite(str(weights_dir), seed=0,
+                                              geometry="tiny")
     assert report2["1_image_qa"]["reply_sha16"] == qa["reply_sha16"]
-    # absent components are reported, not fatal
-    assert report["2_seem_text_seg"]["status"] == "missing"
-    assert report["3_gligen"]["status"] == "missing"
-    assert report["4_i2vgen_unet"]["status"] == "missing"
+    # absent components are reported as skips, not failures
+    for row in ("3_seem_text_seg", "4_gligen_gen", "4_gligen_inpaint",
+                "5_stablevideo_nla", "6_i2vgen_unet", "6_t2v_unet"):
+        assert report[row]["status"] == "missing"
+        assert report[row]["pass"] is None
+    # missing rows don't fail the unattended verdict
+    assert report["all_present_pass"] is True
 
 
-def test_acceptance_lora_changes_output(weights_dir, monkeypatch):
+def test_acceptance_full_manifest(full_weights_dir):
+    """The one-command dry run: every manifest row present -> every row
+    must load through its converter, run its task, and pass."""
+    report = eval_suite.run_acceptance_suite(str(full_weights_dir), seed=0,
+                                             geometry="tiny")
+    rows = [k for k, v in report.items()
+            if isinstance(v, dict) and "pass" in v]
+    assert sorted(rows) == [
+        "1_image_qa", "2_languagebind_video", "3_seem_text_seg",
+        "4_gligen_gen", "4_gligen_inpaint", "5_stablevideo_nla",
+        "6_i2vgen_unet", "6_t2v_unet"]
+    bad = {k: report[k] for k in rows if report[k]["pass"] is not True}
+    assert not bad, bad
+    assert report["all_present_pass"] is True
+    # per-row acceptance hashes exist to pin against a weights release
+    assert "reply_sha16" in report["1_image_qa"]
+    assert "mask_sha16" in report["3_seem_text_seg"]
+    assert "eps_sha16" in report["4_gligen_gen"]
+    assert "render_sha16" in report["5_stablevideo_nla"]
+
+
+def test_acceptance_cli_exit_codes(full_weights_dir, tmp_path, capsys):
+    """--manifest prints the table; a missing-everything dir exits 0 (all
+    skips); a corrupt present checkpoint exits 1."""
+    assert eval_suite.main(["--manifest"]) == 0
+    assert "seem_focall_v1.pt" in capsys.readouterr().out
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert eval_suite.main(["--cpu", "--weights", str(empty),
+                            "--geometry", "tiny"]) == 0
+
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    (broken / "seem_focall_v1.pt").write_bytes(b"not a checkpoint")
+    assert eval_suite.main(["--cpu", "--weights", str(broken),
+                            "--geometry", "tiny"]) == 1
+    out = capsys.readouterr().out
+    assert "FAIL" in out
+
+
+def test_acceptance_lora_changes_output(weights_dir):
     """The LoRA merge must actually alter the loaded weights (a silently
     skipped adapter would still produce a valid-looking report)."""
-    from vitron_tpu.models.llm import llama, loader
+    from vitron_tpu.models.llm import loader
 
     base = weights_dir / "vicuna-7b"
     cfg = eval_suite._llama_cfg_from_hf(base)

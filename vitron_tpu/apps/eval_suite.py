@@ -198,27 +198,51 @@ def _vit_cfg_from_hf(clip_dir):
         intermediate_size=v.get("intermediate_size", 4096))
 
 
+ACCEPTANCE_MANIFEST = """\
+Checkpoint manifest — every weight file the reference application loads
+(reference file:line in parens), its expected location under --weights,
+and the acceptance task run on it:
+
+  vicuna-7b/            HF llama dir (builder.py:54-57)        -> image QA reply hash
+  vitron_lora/          peft adapter + non_lora_trainables     -> merged into the QA run
+                        (builder.py:63-86)
+  clip_vit_l14/         HF CLIP vision tower (builder.py:149)  -> image tower for the QA run
+  languagebind_video/   LanguageBind video tower w/ temporal
+                        attn (languagebind/video)              -> 8-frame encode hash
+  seem_focall_v1.pt     SEEM FocalNet-L (demo_code/app.py:37)  -> text-referred mask hash
+  gligen/*.pth          GLIGEN generation bundle
+                        (demo/app.py:67-80)                    -> one grounded UNet step
+  gligen/*inpaint*.pth  GLIGEN inpainting bundle
+                        (demo/app.py:81-91)                    -> one 9-channel UNet step
+  stablevideo/<name>/   NLA atlas checkpoint + config.json
+                        (atlas_utils.py:75-80)                 -> UV eval + render hash
+  i2vgen/*.pth          UNetSD_I2VGen (app.py:324 equivalent)  -> convert + param count
+  t2v/*.pth             UNetSD_T2VBase / ZeroScope
+                        (app.py:228 equivalent)                -> convert + param count
+
+Every row present on disk must end `pass: true`; missing rows report
+`status: missing` (skipped, pass: null). Exit code 1 if any present row
+fails. `--geometry tiny` runs the same pipeline against synthetic tiny
+checkpoints (tests/synthetic_weights.py builds them) for a dry run.
+"""
+
+
 def run_acceptance_suite(weights: str, seed: int = 0,
-                         image_path: str = None) -> Dict[str, Any]:
+                         image_path: str = None,
+                         geometry: str = "real") -> Dict[str, Any]:
     """Checkpoint-backed acceptance run (the reference's equivalent is
-    manually running inference_image.py + the app example tabs).
+    manually running inference_image.py + the app example tabs). See
+    ACCEPTANCE_MANIFEST for the weights-dir layout; docs/API.md documents
+    the one-command flow. Every present component is loaded through the
+    SAME converters the demos use, run on a small deterministic workload,
+    and reported with a sha256 prefix of its output — the acceptance hash
+    to pin per weights release — plus a pass verdict.
 
-    Expected weights-dir layout (every component optional; missing ones are
-    reported, not fatal):
-
-        <weights>/vicuna-7b/            HF llama dir (*.safetensors or .bin)
-        <weights>/vitron_lora/          adapter_config.json + adapter_model.*
-                                        [+ non_lora_trainables.bin|.npz]
-        <weights>/clip_vit_l14/         HF CLIP vision checkpoint (.bin/.safetensors)
-        <weights>/seem_focall_v1.pt     SEEM FocalNet-L checkpoint
-        <weights>/gligen/*.pth          GLIGEN generation checkpoint bundle
-        <weights>/i2vgen/*.pth          UNetSD_I2VGen checkpoint
-        <weights>/t2v/*.pth             UNetSD_T2VBase checkpoint
-
-    Each present component is loaded through the SAME converters the demos
-    use, run on a small deterministic workload, and reported with a sha256
-    prefix of its output — the acceptance hash to pin per weights release.
-    """
+    geometry: "real" expects released-checkpoint shapes (SeemConfig(),
+    GligenConfig(), UNetSDVideoConfig.t2v()/i2vgen_xl()); "tiny" expects
+    the synthetic dry-run shapes tests/synthetic_weights.py writes. The
+    llama/CLIP rows read their geometry from the HF config files either
+    way."""
     import pathlib
     import time
 
@@ -226,9 +250,24 @@ def run_acceptance_suite(weights: str, seed: int = 0,
     import jax.numpy as jnp
     import numpy as np
 
+    tiny = geometry == "tiny"
     w = pathlib.Path(weights)
-    report: Dict[str, Any] = {"weights_dir": str(w)}
+    report: Dict[str, Any] = {"weights_dir": str(w), "geometry": geometry}
     rs = np.random.RandomState(seed)
+
+    def _row(key: str, present: bool, expected: str, fn) -> None:
+        """Run one manifest row: missing -> skipped, exception -> failed,
+        normal return (a dict) -> passed."""
+        if not present:
+            report[key] = {"status": "missing", "expected": expected,
+                           "pass": None}
+            return
+        try:
+            out = fn()
+            report[key] = {**out, "pass": bool(out.get("pass", True))}
+        except Exception as e:  # a present checkpoint that fails = red row
+            report[key] = {"pass": False,
+                           "error": f"{type(e).__name__}: {e}"}
     if image_path:
         from vitron_tpu.media.preprocess import load_image
 
@@ -238,15 +277,17 @@ def run_acceptance_suite(weights: str, seed: int = 0,
 
     # ---- MLLM: base (+LoRA) + towers + projector/region adapters --------
     base = w / "vicuna-7b"
-    if base.is_dir():
+
+    def _row_image_qa():
         import transformers
 
         from vitron_tpu.models import vitron_model
-        from vitron_tpu.models.llm import llama, loader
+        from vitron_tpu.models.llm import loader
         from vitron_tpu.models.vision import loader as vloader
         from vitron_tpu.models.vision import projector, region_extractor
         from vitron_tpu.runtime.engine import VitronEngine
         from vitron_tpu.runtime.generation import SamplingConfig
+        from vitron_tpu.runtime.system import VitronSystem
 
         t0 = time.perf_counter()
         import dataclasses as _dc
@@ -285,26 +326,55 @@ def run_acceptance_suite(weights: str, seed: int = 0,
                     params["region"] = jax.tree.map(
                         jnp.asarray, region_extractor.convert_hf(nl))
         tokenizer = transformers.AutoTokenizer.from_pretrained(str(base))
-        from vitron_tpu.runtime.system import VitronSystem
-
         system = VitronSystem(VitronEngine(params, cfg, tokenizer))
         out, dt = _timed(lambda: system.chat(
             "What is in this image?", image=image,
             sampling=SamplingConfig(greedy=True, max_new_tokens=32),
             rng=jax.random.PRNGKey(seed)))
-        report["1_image_qa"] = {
+        return {
             "load_seconds": round(time.perf_counter() - t0 - dt, 1),
             "seconds": dt,
             "reply": out["reply"]["raw"][:200],
+            # a trained checkpoint must produce text; synthetic tiny random
+            # weights may greedy-decode straight into a stop separator
+            "pass": len(out["reply"]["raw"]) > 0 if not tiny else True,
             "reply_sha16": _sha16(np.frombuffer(
                 out["reply"]["raw"].encode(), np.uint8)),
         }
-    else:
-        report["1_image_qa"] = {"status": "missing", "expected": str(base)}
+
+    _row("1_image_qa", base.is_dir(), str(base), _row_image_qa)
+
+    # ---- LanguageBind video tower ----------------------------------------
+    lbv = w / "languagebind_video"
+
+    def _row_video_tower():
+        from vitron_tpu.models.llm import loader
+        from vitron_tpu.models.vision import loader as vloader
+        from vitron_tpu.models.vision import vit
+
+        tcfg = _vit_cfg_from_hf(lbv)
+        import dataclasses as _dc
+
+        tcfg = _dc.replace(tcfg, add_time_attn=True)
+        sd = loader.load_safetensors_dir(str(lbv))
+        if not sd:
+            for f in sorted(lbv.glob("*.bin")):
+                sd.update(loader.load_torch_bin(str(f)))
+        vp = jax.tree.map(jnp.asarray, vloader.convert_hf_clip_vision(sd, tcfg))
+        frames = jnp.asarray(rs.rand(
+            1, tcfg.num_frames, tcfg.image_size, tcfg.image_size, 3),
+            jnp.float32)
+        feats, dt = _timed(lambda: np.asarray(
+            vit.forward_video_features(vp, tcfg, frames)))
+        return {"seconds": dt, "pass": bool(np.isfinite(feats).all()),
+                "feat_sha16": _sha16(np.asarray(feats, np.float32))}
+
+    _row("2_languagebind_video", lbv.is_dir(), str(lbv), _row_video_tower)
 
     # ---- SEEM ------------------------------------------------------------
     seem_pt = w / "seem_focall_v1.pt"
-    if seem_pt.exists():
+
+    def _row_seem():
         import transformers
 
         from vitron_tpu.models.llm import loader
@@ -312,41 +382,117 @@ def run_acceptance_suite(weights: str, seed: int = 0,
         from vitron_tpu.models.seem import model as seem_model
 
         sd = loader.load_torch_bin(str(seem_pt))
-        scfg = seem_model.SeemConfig()
+        scfg = seem_model.SeemConfig.tiny() if tiny else seem_model.SeemConfig()
         sp = jax.tree.map(jnp.asarray, seem_model.convert_torch(sd, scfg))
-        tok = transformers.CLIPTokenizer.from_pretrained(
-            str(w / "clip_tokenizer")) if (w / "clip_tokenizer").is_dir() else None
         size = scfg.input_size
         img = jnp.asarray(jax.image.resize(
             jnp.asarray(image, jnp.float32), (size, size, 3), "linear"),
             jnp.uint8)
-        if tok is not None:
+        if (w / "clip_tokenizer").is_dir():
+            tok = transformers.CLIPTokenizer.from_pretrained(
+                str(w / "clip_tokenizer"))
             ids = seem_lang.tokenize(tok, ["the main object"],
                                      scfg.lang.context_length)
-            mask_tok = (np.asarray(ids) != 0).astype(np.int64)
-            mask, dt = _timed(lambda: np.asarray(seem_model.segment_text(
-                sp, scfg, img, jnp.asarray(ids), jnp.asarray(mask_tok))[0]))
-            report["2_seem_text_seg"] = {"seconds": dt,
-                                         "mask_sha16": _sha16(mask > 0)}
         else:
-            report["2_seem_text_seg"] = {"status": "loaded (no clip_tokenizer dir "
-                                                   "for the text query)"}
-    else:
-        report["2_seem_text_seg"] = {"status": "missing", "expected": str(seem_pt)}
+            # no tokenizer dir: deterministic synthetic token ids still
+            # exercise the language encoder + decoder end-to-end
+            ids = np.zeros((1, scfg.lang.context_length), np.int64)
+            ids[0, :6] = [49, 12, 33, 7, 21, 120]
+        mask_tok = (np.asarray(ids) != 0).astype(np.int64)
+        mask, dt = _timed(lambda: np.asarray(seem_model.segment_text(
+            sp, scfg, img, jnp.asarray(ids), jnp.asarray(mask_tok))[0]))
+        return {"seconds": dt, "pass": bool(np.isfinite(mask).all()),
+                "mask_sha16": _sha16(mask > 0)}
 
-    # ---- GLIGEN -----------------------------------------------------------
+    _row("3_seem_text_seg", seem_pt.exists(), str(seem_pt), _row_seem)
+
+    # ---- GLIGEN gen + inpaint ---------------------------------------------
     gdir = w / "gligen"
     gpth = sorted(gdir.glob("*.pth")) if gdir.is_dir() else []
-    if gpth:
-        from vitron_tpu.models.diffusion import gligen_pipeline as gp
+    gen_pths = [p for p in gpth if "inpaint" not in p.name.lower()]
+    inp_pths = [p for p in gpth if "inpaint" in p.name.lower()]
 
-        gcfg = gp.GligenConfig()
-        bundle, dt = _timed(lambda: gp.load_gligen_checkpoint(str(gpth[0]), gcfg))
-        report["3_gligen"] = {"load_seconds": dt,
-                              "components": sorted(bundle.keys())
-                              if isinstance(bundle, dict) else "loaded"}
-    else:
-        report["3_gligen"] = {"status": "missing", "expected": str(w / 'gligen/*.pth')}
+    def _gligen_row(path, inpaint: bool):
+        import dataclasses as _dc
+
+        from vitron_tpu.models.diffusion import gligen_pipeline as gp
+        from vitron_tpu.models.diffusion import unet2d
+
+        gcfg = gp.GligenConfig.tiny() if tiny else gp.GligenConfig()
+        if inpaint:
+            gcfg = _dc.replace(gcfg, unet=_dc.replace(gcfg.unet, in_channels=9))
+        bundle, dt = _timed(lambda: gp.load_gligen_checkpoint(
+            str(path), gcfg, inpaint=inpaint))
+        unet_params = bundle[0] if isinstance(bundle, tuple) else bundle["unet"]
+        lat = 16 if tiny else 64
+        x = jnp.asarray(rs.randn(1, lat, lat, gcfg.unet.in_channels),
+                        jnp.float32)
+        ctx = jnp.asarray(rs.randn(1, 4, gcfg.unet.context_dim) * 0.02,
+                          jnp.float32)
+        objs = jnp.asarray(rs.randn(1, 4, gcfg.unet.context_dim) * 0.02,
+                           jnp.float32)
+        eps, fdt = _timed(lambda: np.asarray(unet2d.forward(
+            unet_params, gcfg.unet, x, jnp.full((1,), 5.0), ctx, objs=objs)))
+        return {"load_seconds": dt, "step_seconds": fdt,
+                "pass": bool(np.isfinite(eps).all()),
+                "eps_sha16": _sha16(np.asarray(eps, np.float32))}
+
+    _row("4_gligen_gen", bool(gen_pths), str(gdir / "*.pth"),
+         lambda: _gligen_row(gen_pths[0], False))
+    _row("4_gligen_inpaint", bool(inp_pths), str(gdir / "*inpaint*.pth"),
+         lambda: _gligen_row(inp_pths[0], True))
+
+    # ---- StableVideo NLA atlases -------------------------------------------
+    svdir = w / "stablevideo"
+    nla_dirs = sorted(d for d in (svdir.iterdir() if svdir.is_dir() else [])
+                      if (d / "checkpoint").exists())
+
+    def _row_nla():
+        import torch
+
+        from vitron_tpu.models.diffusion import stablevideo as sv
+
+        ckpt = torch.load(str(nla_dirs[0] / "checkpoint"),
+                          map_location="cpu", weights_only=False)
+        # IMLP geometries are fixed by the NLA release
+        # (atlas_utils.py:26-72): mappings 3->2 no-positional 6/4 layers,
+        # atlas 2->3 pos10 8 layers skip(4,7), alpha 3->1 pos5 8 layers
+        cfgs = {
+            "fg": sv.IMLPConfig(input_dim=3, output_dim=2, num_layers=6,
+                                positional_dim=0, skip_layers=()),
+            "bg": sv.IMLPConfig(input_dim=3, output_dim=2, num_layers=4,
+                                positional_dim=0, skip_layers=()),
+            "alpha": sv.IMLPConfig(input_dim=3, output_dim=1, num_layers=8,
+                                   positional_dim=5, skip_layers=()),
+        }
+        atlas_cfg = sv.IMLPConfig(input_dim=2, output_dim=3, num_layers=8,
+                                  positional_dim=10, skip_layers=(4, 7))
+        fg = sv.convert_imlp_torch(ckpt["model_F_mapping1_state_dict"])
+        bg = sv.convert_imlp_torch(ckpt["model_F_mapping2_state_dict"])
+        alpha = sv.convert_imlp_torch(ckpt["model_F_alpha_state_dict"])
+        atlas = sv.convert_imlp_torch(ckpt["F_atlas_state_dict"])
+        svcfg = {}
+        if (nla_dirs[0] / "config.json").exists():
+            svcfg = json.loads((nla_dirs[0] / "config.json").read_text())
+        t_frames, hh, ww = 2, 24, 24
+        (fg_uv, bg_uv, a), dt = _timed(lambda: jax.tree.map(
+            np.asarray, sv.atlas_uvs(
+                fg, bg, alpha, cfgs, t_frames, hh, ww,
+                max_frames=svcfg.get("maximum_number_of_frames", t_frames))))
+        # evaluate the atlas colors on a small grid and render
+        gy, gx = np.meshgrid(np.linspace(-1, 1, 16), np.linspace(-1, 1, 16),
+                             indexing="ij")
+        pts = jnp.asarray(np.stack([gx, gy], -1), jnp.float32)
+        colors = 0.5 * (np.asarray(sv.imlp_forward(atlas, atlas_cfg, pts)) + 1)
+        frames = np.asarray(sv.render_frames(
+            jnp.asarray(colors), jnp.asarray(colors), jnp.asarray(fg_uv),
+            jnp.asarray(bg_uv), jnp.asarray(a)))
+        ok = bool(np.isfinite(frames).all() and np.isfinite(colors).all())
+        return {"seconds": dt, "video": nla_dirs[0].name, "pass": ok,
+                "render_sha16": _sha16(np.asarray(frames, np.float32))}
+
+    _row("5_stablevideo_nla", bool(nla_dirs), str(svdir / "<name>/checkpoint"),
+         _row_nla)
 
     # ---- video UNets (converter-level acceptance) --------------------------
     from vitron_tpu.models.diffusion import unet_sd_video
@@ -354,18 +500,42 @@ def run_acceptance_suite(weights: str, seed: int = 0,
     for name, variant in (("i2vgen", "i2vgen"), ("t2v", "t2v")):
         vdir = w / name
         pths = sorted(vdir.glob("*.pth")) if vdir.is_dir() else []
-        if not pths:
-            report[f"4_{name}_unet"] = {"status": "missing",
-                                        "expected": str(vdir / '*.pth')}
-            continue
-        from vitron_tpu.models.llm import loader
 
-        sd = loader.load_torch_bin(str(pths[0]))
-        vcfg = (unet_sd_video.UNetSDVideoConfig.i2vgen_xl() if variant == "i2vgen"
-                else unet_sd_video.UNetSDVideoConfig.t2v())
-        vp, dt = _timed(lambda: unet_sd_video.convert_torch(sd, vcfg))
-        n_params = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(vp))
-        report[f"4_{name}_unet"] = {"load_seconds": dt, "params": n_params}
+        def _row_unet(pths=pths, variant=variant):
+            from vitron_tpu.models.llm import loader
+
+            sd = loader.load_torch_bin(str(pths[0]))
+            if tiny:
+                vcfg = unet_sd_video.UNetSDVideoConfig.tiny(variant)
+            else:
+                vcfg = (unet_sd_video.UNetSDVideoConfig.i2vgen_xl()
+                        if variant == "i2vgen"
+                        else unet_sd_video.UNetSDVideoConfig.t2v())
+            vp, dt = _timed(lambda: unet_sd_video.convert_torch(sd, vcfg))
+            n_params = sum(int(np.prod(np.shape(x)))
+                           for x in jax.tree.leaves(vp))
+            out = {"load_seconds": dt, "params": n_params, "pass": n_params > 0}
+            if tiny:  # one denoise step (real geometry is a multi-minute
+                # CPU forward; the parity suite covers its numerics)
+                x = jnp.asarray(rs.randn(1, 2, 8, 8, 4), jnp.float32)
+                y = jnp.asarray(rs.randn(1, 3, 1024) * 0.02, jnp.float32)
+                kw = {}
+                if variant == "i2vgen":
+                    kw = dict(image=jnp.zeros((1, vcfg.y_dim), jnp.float32),
+                              local_image=jnp.zeros((1, 8, 8, 4), jnp.float32),
+                              fps=jnp.asarray([8.0]))
+                eps = np.asarray(unet_sd_video.forward(
+                    vp, vcfg, x, jnp.asarray([7.0]), y=y, **kw))
+                out["pass"] = bool(np.isfinite(eps).all())
+                out["eps_sha16"] = _sha16(np.asarray(eps, np.float32))
+            return out
+
+        _row(f"6_{name}_unet", bool(pths), str(vdir / "*.pth"), _row_unet)
+
+    failures = [k for k, v in report.items()
+                if isinstance(v, dict) and v.get("pass") is False]
+    report["all_present_pass"] = not failures
+    report["failed_rows"] = failures
     return report
 
 
@@ -375,9 +545,18 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--weights", help="weights dir for the acceptance run "
-                                     "(see run_acceptance_suite docstring)")
+                                     "(see ACCEPTANCE_MANIFEST)")
     p.add_argument("--image", help="example image for the acceptance run")
+    p.add_argument("--geometry", choices=("real", "tiny"), default="real",
+                   help="checkpoint geometry: real released shapes, or the "
+                        "tiny synthetic dry-run shapes "
+                        "(tests/synthetic_weights.py)")
+    p.add_argument("--manifest", action="store_true",
+                   help="print the checkpoint manifest and exit")
     args = p.parse_args(argv)
+    if args.manifest:
+        print(ACCEPTANCE_MANIFEST)
+        return 0
     if args.cpu:
         import jax
 
@@ -387,10 +566,20 @@ def main(argv=None) -> int:
         return 2
     if args.demo:
         report = run_demo_suite(args.seed)
-    else:
-        report = run_acceptance_suite(args.weights, args.seed, args.image)
+        print(json.dumps(report, indent=2))
+        return 0
+    report = run_acceptance_suite(args.weights, args.seed, args.image,
+                                  geometry=args.geometry)
     print(json.dumps(report, indent=2))
-    return 0
+    # unattended pass/fail table: one line per manifest row
+    print(f"\n{'row':24s} verdict")
+    for k, v in report.items():
+        if not isinstance(v, dict) or "pass" not in v:
+            continue
+        verdict = ("SKIP (missing)" if v["pass"] is None
+                   else "PASS" if v["pass"] else f"FAIL {v.get('error', '')}")
+        print(f"{k:24s} {verdict}")
+    return 0 if report.get("all_present_pass", False) else 1
 
 
 if __name__ == "__main__":

@@ -76,6 +76,9 @@ def imlp_init(rng: jax.Array, cfg: IMLPConfig) -> Dict[str, Any]:
 
 
 def convert_imlp_torch(sd, prefix: str = "") -> Dict[str, Any]:
+    """Convert a torch IMLP state dict. The released NLA checkpoints name
+    the stack `hidden.{i}` (implicit_neural_networks.py:46); `layers.{i}` /
+    `hidden_layers.{i}` are accepted for other IMLP exports."""
     import numpy as np
 
     def _np(x):
@@ -83,12 +86,18 @@ def convert_imlp_torch(sd, prefix: str = "") -> Dict[str, Any]:
 
     layers = []
     i = 0
-    while f"{prefix}hidden_layers.{i}.weight" in sd or f"{prefix}layers.{i}.weight" in sd:
-        stem = f"{prefix}hidden_layers.{i}" if f"{prefix}hidden_layers.{i}.weight" in sd \
-            else f"{prefix}layers.{i}"
+    while True:
+        stem = next((f"{prefix}{nm}.{i}" for nm in ("hidden", "hidden_layers", "layers")
+                     if f"{prefix}{nm}.{i}.weight" in sd), None)
+        if stem is None:
+            break
         layers.append({"w": np.ascontiguousarray(_np(sd[stem + ".weight"]).T),
                        "b": _np(sd[stem + ".bias"])})
         i += 1
+    if not layers:
+        raise ValueError(
+            f"no IMLP layers found under prefix {prefix!r}; keys look like "
+            f"{sorted(sd)[:3]}")
     return {"layers": layers}
 
 
@@ -131,14 +140,28 @@ def render_frames(fg_atlas: jax.Array, bg_atlas: jax.Array,
 
 
 def atlas_uvs(fg_mlp, bg_mlp, alpha_mlp, imlp_cfgs, t_frames: int, h: int, w: int,
-              fg_uv_scale=None, bg_uv_scale=None):
-    """Evaluate the IMLP mapping networks on the full (x, y, t) grid
-    (atlas_data.py:23-290 evaluation loop, batched on device).
+              fg_uv_scale=None, bg_uv_scale=None, max_frames: int = None):
+    """Evaluate the IMLP mapping networks on the full (x, y, t) grid,
+    batched on device (atlas_utils.py:92-120 get_frames_data, which the
+    reference runs frame-by-frame in Python).
 
-    Returns fg_uv, bg_uv [T, H, W, 2] and alpha [T, H, W, 1]."""
-    ys = (jnp.arange(h, dtype=jnp.float32) / (h - 1)) * 2 - 1
-    xs = (jnp.arange(w, dtype=jnp.float32) / (w - 1)) * 2 - 1
-    ts = (jnp.arange(t_frames, dtype=jnp.float32) / max(t_frames - 1, 1)) * 2 - 1
+    Released-checkpoint input conventions (atlas_utils.py:93-109): pixel
+    (x, y) are both normalized by max(resx, resy)/2 and t by
+    maximum_number_of_frames/2 (`indices / normalizing_factor - 1`), so a
+    shorter axis does NOT span [-1, 1]. Alpha head: 0.5*(tanh+1) then
+    0.99*a + 0.001 (atlas_utils.py:118-119). The raw UV outputs in [-1, 1]
+    index the SEPARATE fg/bg atlas images directly — the reference's
+    `*0.5+0.5` / `*0.5-0.5` maps the same values onto its combined
+    two-quadrant texture.
+
+    max_frames: the checkpoint config's maximum_number_of_frames
+    (defaults to t_frames). Returns fg_uv, bg_uv [T, H, W, 2] and alpha
+    [T, H, W, 1]."""
+    half = max(h, w) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32) / half - 1.0
+    xs = jnp.arange(w, dtype=jnp.float32) / half - 1.0
+    mf = float(max_frames if max_frames is not None else t_frames)
+    ts = jnp.arange(t_frames, dtype=jnp.float32) / (mf / 2.0) - 1.0
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
 
     def per_t(tv):
@@ -147,6 +170,7 @@ def atlas_uvs(fg_mlp, bg_mlp, alpha_mlp, imlp_cfgs, t_frames: int, h: int, w: in
         bg = imlp_forward(bg_mlp, imlp_cfgs["bg"], pts)
         a = imlp_forward(alpha_mlp, imlp_cfgs["alpha"], pts, use_tanh=False)
         a = 0.5 * (jax.nn.tanh(a) + 1.0)  # alpha head convention
+        a = 0.99 * a + 0.001
         return fg, bg, a
 
     fg, bg, a = jax.lax.map(per_t, ts)
