@@ -496,11 +496,15 @@ def bench_video_unet() -> dict:
     # XLA's own 2MNK count. TPU cost_analysis counts a while-loop body
     # ONCE regardless of trip count (verified: nsteps=1 and nsteps=3 both
     # report 86.11 TF), so the executable's flops IS the per-step count —
-    # and it confirms the r3 analytic 86.1 TF/step.
+    # and it confirms the r3 analytic 86.1 TF/step. Pallas custom calls
+    # (fused GEGLU FF, frame attention) are INVISIBLE to cost_analysis, so
+    # MFU uses the analytic count when kernels are engaged (the XLA-visible
+    # number is still reported for the delta).
     cost = exe.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
-    flops = cost.get("flops", 0.0)
+    xla_flops = cost.get("flops", 0.0)
+    flops = max(xla_flops, 86.1e12)
     np.asarray(exe(params, x0, ctx), dtype=np.float32)
     best = float("inf")
     for _ in range(3):
@@ -510,7 +514,8 @@ def bench_video_unet() -> dict:
     per = (best - 0.033) / nsteps
     return {"video_unet_cfg_steps_per_s": round(1.0 / per, 2),
             "video_unet_mfu": round(flops / per / V5E_BF16_FLOPS, 3),
-            "video_unet_tf_per_step": round(flops / 1e12, 1)}
+            "video_unet_tf_per_step": round(flops / 1e12, 1),
+            "video_unet_xla_visible_tf": round(xla_flops / 1e12, 1)}
 
 
 def bench_sd_unet() -> dict:

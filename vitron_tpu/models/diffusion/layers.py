@@ -163,6 +163,20 @@ def _mha(q, k, v, heads: int, scale: float) -> jax.Array:
                               block_q=bq, block_k=bk)
         return out.astype(v.dtype).reshape(b, n, hc)
     sim = jnp.einsum("bnhc,bmhc->bhnm", q, k).astype(jnp.float32) * scale
+    if v.dtype == jnp.bfloat16:
+        # bf16 probability materialization: softmax stays f32 (max + exp +
+        # rowsum inside the score-producing fusion) but the [B,H,N,M]
+        # probability tensor round-trips HBM in bf16 and the normalization
+        # divides AFTER the small attn@v output — halves the dominant HBM
+        # traffic of the einsum path (the f32 scores are ~1.6 GB at the
+        # video UNet's 720-token sites). f32 path below stays exact for
+        # parity tests.
+        mx = jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        p = jnp.exp(sim - mx)
+        s = jnp.sum(p, axis=-1)  # [B, H, N] f32, fused with exp producer
+        out = jnp.einsum("bhnm,bmhc->bnhc", p.astype(jnp.bfloat16), v)
+        out = out.astype(jnp.float32) / jnp.moveaxis(s, 1, 2)[..., None]
+        return out.astype(v.dtype).reshape(b, n, hc)
     attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhnm,bmhc->bnhc", attn, v)
     return out.reshape(b, n, hc)
@@ -185,7 +199,17 @@ def self_attention(p: Dict[str, Any], x, heads: int) -> jax.Array:
 
 
 def geglu_ff(p: Dict[str, Any], x) -> jax.Array:
-    """FeedForward with GEGLU (attention.py:44-71)."""
+    """FeedForward with GEGLU (attention.py:44-71).
+
+    Large bf16 TPU sites stream the [M, 2F] hidden tensor through VMEM via
+    the fused Pallas kernel (kernels/geglu_ff.py) instead of round-tripping
+    it in HBM; small/f32 workloads keep the plain XLA form (exact for
+    parity tests)."""
+    from vitron_tpu.kernels import geglu_ff as _gf
+
+    if _gf.usable(x, p["proj_w"], p["out_w"]):
+        return _gf.geglu_ff_fused(x, p["proj_w"], p["proj_b"],
+                                  p["out_w"], p["out_b"])
     h = x @ p["proj_w"] + p["proj_b"]
     a, gate = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.gelu(gate, approximate=False)

@@ -100,7 +100,7 @@ class ServingPipeline:
                  num_kv_blocks: int = 512):
         self.system = system
         self.batcher = None
-        gen = getattr(system.engine, "generator", None)
+        gen = getattr(getattr(system, "engine", None), "generator", None)
         if batched and getattr(gen, "params", None) is not None:
             from vitron_tpu.runtime.batching import ContinuousBatcher
 
@@ -110,8 +110,13 @@ class ServingPipeline:
             system.engine.batcher = self.batcher
         self._prep = concurrent.futures.ThreadPoolExecutor(
             num_workers, thread_name_prefix="vitron-prep")
+        # Without a ContinuousBatcher the device threads would just contend
+        # on the chip (r3 serialized contract, pinned by
+        # test_serving_pipeline_device_serialized); concurrency only pays
+        # when decode steps co-batch through the paged pool.
         self._device = concurrent.futures.ThreadPoolExecutor(
-            max_active if batched else 1, thread_name_prefix="vitron-device")
+            max_active if self.batcher is not None else 1,
+            thread_name_prefix="vitron-device")
 
     def submit(self, user_message: str, image=None, video=None,
                sketch_mask=None, region_box=None, history=None,
