@@ -84,3 +84,26 @@ def test_bf16():
     want = reference(x, w)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), rtol=5e-2, atol=5e-2)
+
+
+def test_concat_mode_matches_shift_matmul():
+    """VITRON_TCONV=concat single-dot form == the shift-matmul form."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.kernels.temporal_conv import _tconv
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    x = jax.random.normal(ks[0], (2, 6, 40, 32))
+    w = jax.random.normal(ks[1], (3, 32, 48)) * 0.1
+    a = _tconv(x, w, "xla")
+    b = _tconv(x, w, "concat")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda x, w: jnp.sum(_tconv(x, w, "concat") ** 2),
+                  argnums=(0, 1))(x, w)
+    g2 = jax.grad(lambda x, w: jnp.sum(_tconv(x, w, "xla") ** 2),
+                  argnums=(0, 1))(x, w)
+    for u, v in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-4, atol=1e-4)

@@ -201,3 +201,35 @@ def test_qlora_merge_matches_dense_merge():
     want = x @ wd
     rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
     assert rel < 0.05, rel
+
+
+def test_adafactor_optimizer(tmp_path):
+    """TrainConfig(optimizer='adafactor') — the i2vgen fine-tune optimizer
+    (reference modules/i2vgen-xl/utils/optim/adafactor.py, selected by the
+    train configs) — takes steps with finite decreasing-ish loss through
+    the same LoRA trainer."""
+    items = [{
+        "conversations": [
+            {"from": "human", "value": "<image>\nwhat color is this?"},
+            {"from": "gpt", "value": f"it is color number {i}"},
+        ],
+        "image": f"img_{i}.png",
+    } for i in range(4)]
+    data_path = tmp_path / "data.json"
+    data_path.write_text(json.dumps(items))
+
+    cfg = vitron_model.VitronConfig.tiny()
+    base = vitron_model.init_params(jax.random.PRNGKey(0), cfg)
+    ds = data_mod.SupervisedDataset(str(data_path), WordTok(),
+                                    model_max_length=128)
+    tc = TrainConfig(batch_size=2, num_epochs=1, pad_len=128, save_steps=100,
+                     learning_rate=1e-2, optimizer="adafactor",
+                     lora=lora_mod.LoraConfig(r=2, alpha=4))
+    tr = Trainer(cfg, tc, base, str(tmp_path / "out_adafactor"))
+
+    def media_loader(kind, path):
+        return np.random.RandomState(abs(hash(path)) % 1000).rand(
+            28, 28, 3).astype(np.float32)
+
+    losses = tr.fit(ds, media_loader=media_loader, total_steps=2, image_len=16)
+    assert len(losses) == 2 and all(np.isfinite(losses))

@@ -95,6 +95,17 @@ def _tconv_pallas(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Ar
     return out[:, :, :n] if n_pad else out
 
 
+def _tconv_concat(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Single-dot form: concat the three frame-shifted views along C and
+    contract [*, 3C] @ [3C, Co] in ONE MXU dot (K is 3x deeper, the
+    shifted-add partials never materialize; the concat costs one extra
+    write+read of x). A/B vs the shift-matmul form via VITRON_TCONV."""
+    b, f, n, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    xcat = jnp.concatenate([xp[:, :-2], xp[:, 1:-1], xp[:, 2:]], axis=-1)
+    return xcat @ w.reshape(3 * c, -1).astype(x.dtype)
+
+
 def _tconv_xla(x: jax.Array, w: jax.Array) -> jax.Array:
     w0, w1, w2 = (w[i].astype(x.dtype) for i in range(3))
     y = x @ w1
@@ -106,21 +117,23 @@ def _tconv_xla(x: jax.Array, w: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _tconv(x: jax.Array, w: jax.Array, use_pallas: bool) -> jax.Array:
-    if use_pallas:
+def _tconv(x: jax.Array, w: jax.Array, mode: str) -> jax.Array:
+    if mode == "pallas":
         return _tconv_pallas(x, w)
+    if mode == "concat":
+        return _tconv_concat(x, w)
     return _tconv_xla(x, w)
 
 
-def _tconv_fwd(x, w, use_pallas):
-    return _tconv(x, w, use_pallas), (x, w)
+def _tconv_fwd(x, w, mode):
+    return _tconv(x, w, mode), (x, w)
 
 
-def _tconv_bwd(use_pallas, res, g):
+def _tconv_bwd(mode, res, g):
     x, w = res
     # dL/dx[f] = sum_d g[f-d+1] @ w[d].T  (frame-flipped transposed taps)
     wt = jnp.flip(w, 0).transpose(0, 2, 1)
-    dx = _tconv(g, wt.astype(g.dtype), use_pallas).astype(x.dtype)
+    dx = _tconv(g, wt.astype(g.dtype), mode).astype(x.dtype)
     # dL/dw[d] = sum over (b, n) of x[:, f]^T g[:, f+1-d] pairs
     gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0), (0, 0))).astype(jnp.float32)
     f = x.shape[1]
@@ -145,14 +158,17 @@ def temporal_conv_k3(x: jax.Array, w: jax.Array, bias=None, *,
     if w.ndim == 4:
         w = w[:, 0]
     if use_pallas is None:
-        use_pallas = (os.environ.get("VITRON_TCONV", "xla") == "pallas"
-                      and jax.default_backend() not in ("cpu",))
+        mode = os.environ.get("VITRON_TCONV", "xla")
+        if jax.default_backend() == "cpu":
+            mode = "xla" if mode == "pallas" else mode
+    else:
+        mode = "pallas" if use_pallas else "xla"
     shape = x.shape
     b, f, c = shape[0], shape[1], shape[-1]
     n = 1
     for s in shape[2:-1]:
         n *= s
-    out = _tconv(x.reshape(b, f, n, c), w, use_pallas)
+    out = _tconv(x.reshape(b, f, n, c), w, mode)
     out = out.reshape(shape[:-1] + (w.shape[-1],))
     if bias is not None:
         out = out + bias.astype(out.dtype)

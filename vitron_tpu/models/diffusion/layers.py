@@ -27,7 +27,8 @@ from vitron_tpu.kernels.group_norm import group_norm_sums
 # ---------------------------------------------------------------- primitives
 
 def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
-               groups: int = 32, eps: float = 1e-6) -> jax.Array:
+               groups: int = 32, eps: float = 1e-6,
+               stat_chunks: int = 1) -> jax.Array:
     """x: [..., H, W, C] (or [..., N, C]); normalize over spatial + group.
 
     Formulated as spatial reductions + a per-(sample, channel) affine so the
@@ -44,7 +45,15 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     # Stats routed through kernels/group_norm.py: XLA producer-fused
     # reductions by default (the read-once Pallas pass measured SLOWER
     # e2e — see that module's docstring; VITRON_GN=pallas re-measures).
-    st = group_norm_sums(x.reshape(b, -1, c))    # [B, 2, C] f32
+    #
+    # stat_chunks > 1 (the video UNets' temporal blocks pass F): a [2, C]
+    # stat row puts M=2 on 8-wide sublanes (4x waste) and forces the big
+    # tensor through the frame-major view; computing [B*F, 2, C] partials
+    # on the SAME folded view the spatial blocks use and summing them is
+    # identical math (f32 partial-sum reassociation only).
+    st = group_norm_sums(x.reshape(b * stat_chunks, -1, c))
+    if stat_chunks > 1:
+        st = st.reshape(b, stat_chunks, 2, c).sum(1)  # [B, 2, C] f32
     s1, s2 = st[:, 0], st[:, 1]
     x32 = x.astype(jnp.float32)
     g1 = s1.reshape(b, groups, c // groups).sum(-1)
@@ -171,6 +180,9 @@ def _mha(q, k, v, heads: int, scale: float) -> jax.Array:
         # traffic of the einsum path (the f32 scores are ~1.6 GB at the
         # video UNet's 720-token sites). f32 path below stays exact for
         # parity tests.
+        # (static-shift softmax — dropping the max pass — measured 1.50 vs
+        # 1.52 steps/s on the video UNet: XLA fuses the max into the score
+        # fusion for free, so the safe max-subtracted form stays)
         mx = jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
         p = jnp.exp(sim - mx)
         s = jnp.sum(p, axis=-1)  # [B, H, N] f32, fused with exp producer

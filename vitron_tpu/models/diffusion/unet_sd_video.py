@@ -214,10 +214,33 @@ def _temporal_mha(p: Dict[str, Any], x: jax.Array, context: jax.Array,
     b, f, n, hc = x.shape
     d = p["to_q"].shape[1] // heads
     scale = d ** -0.5
+    if context.shape[1] == f:
+        from vitron_tpu.kernels import temporal_attention as _ta
+
+        if _ta.usable(x, f):
+            # fused VPU frame-attention kernel: the XLA path's per-pixel
+            # 24x24x64 dots run at ~4% MXU utilization and drag layout
+            # copies with them (docs/PERF.md round-4 video notes)
+            q = x @ p["to_q"]
+            k = context @ p["to_k"]
+            v = context @ p["to_v"]
+            out = _ta.frame_attention(q, k, v, heads, scale)
+            return out @ p["out_w"] + p["out_b"]
     q = (x @ p["to_q"]).reshape(b, f, n, heads, d)
     k = (context @ p["to_k"]).reshape(b, -1, n, heads, d)
     v = (context @ p["to_v"]).reshape(b, -1, n, heads, d)
     sim = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k).astype(jnp.float32) * scale
+    if v.dtype == jnp.bfloat16:
+        # bf16 probability materialization (see layers._mha): per-pixel
+        # [F, G] probs round-trip HBM in bf16, rowsum stays f32, normalize
+        # after the attn@v dot. f32 path stays exact for parity tests.
+        mx = jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        pr = jnp.exp(sim - mx)
+        s = jnp.sum(pr, axis=-1)  # [B, N, H, F] f32
+        out = jnp.einsum("bnhfg,bgnhd->bfnhd", pr.astype(jnp.bfloat16), v)
+        out = out.astype(jnp.float32) / s.transpose(0, 3, 1, 2)[..., None]
+        out = out.astype(v.dtype).reshape(b, f, n, hc)
+        return out @ p["out_w"] + p["out_b"]
     attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
     out = jnp.einsum("bnhfg,bgnhd->bfnhd", attn, v).reshape(b, f, n, hc)
     return out @ p["out_w"] + p["out_b"]
@@ -231,7 +254,9 @@ def temporal_transformer(p: Dict[str, Any], x: jax.Array, heads: int) -> jax.Arr
     reshape, no transpose) with frame-axis attention via einsum."""
     b, f, h, w, c = x.shape
     x_in = x
-    xn = group_norm(x, p["norm_s"], p["norm_b"])  # stats over (F, H, W, C/g)
+    # stats over (F, H, W, C/g); computed as per-frame partials (see
+    # layers.group_norm stat_chunks)
+    xn = group_norm(x, p["norm_s"], p["norm_b"], stat_chunks=f)
     y = xn.reshape(b, f, h * w, c) @ p["proj_in_w"] + p["proj_in_b"]
     for blk in p["blocks"]:
         # BasicTransformerBlock with context_dim=None: attn2 degenerates to

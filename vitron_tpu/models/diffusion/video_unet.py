@@ -83,8 +83,9 @@ def temporal_conv_block(p, x):
     def gn(x, s, bias):
         # torch GroupNorm on [b, c, t, h, w]: stats per group over (t, h, w);
         # eps matches torch's GroupNorm default (the diffusion transformers
-        # use 1e-6, but these blocks are built with the default)
-        return group_norm(x, s, bias, eps=1e-5)
+        # use 1e-6, but these blocks are built with the default).
+        # stat_chunks=T: per-frame stat partials (layers.group_norm)
+        return group_norm(x, s, bias, eps=1e-5, stat_chunks=x.shape[1])
 
     for i in range(4):
         x = gn(x, p[f"norm{i}_s"], p[f"norm{i}_b"])
@@ -98,7 +99,8 @@ def temporal_attention_block(p, x, heads: int):
     pixel (util.py:871-990, no rotary by default)."""
     b, t, h, w, c = x.shape
     identity = x
-    xn = group_norm(x, p["norm_s"], p["norm_b"])  # stats over (t, h, w)
+    # stats over (t, h, w), per-frame partials (layers.group_norm)
+    xn = group_norm(x, p["norm_s"], p["norm_b"], stat_chunks=t)
     xn = xn.transpose(0, 2, 3, 1, 4).reshape(b, h * w, t, c)
     qkv = xn @ p["qkv_w"] + p["qkv_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
