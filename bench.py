@@ -512,10 +512,28 @@ def bench_video_unet() -> dict:
         np.asarray(exe(params, x0, ctx), dtype=np.float32)
         best = min(best, time.perf_counter() - t0)
     per = (best - 0.033) / nsteps
-    return {"video_unet_cfg_steps_per_s": round(1.0 / per, 2),
-            "video_unet_mfu": round(flops / per / V5E_BF16_FLOPS, 3),
-            "video_unet_tf_per_step": round(flops / 1e12, 1),
-            "video_unet_xla_visible_tf": round(xla_flops / 1e12, 1)}
+    out = {"video_unet_cfg_steps_per_s": round(1.0 / per, 2),
+           "video_unet_mfu": round(flops / per / V5E_BF16_FLOPS, 3),
+           "video_unet_tf_per_step": round(flops / 1e12, 1),
+           "video_unet_xla_visible_tf": round(xla_flops / 1e12, 1)}
+
+    # W8A8 serving variant (VITRON_VUNET_QUANT=w8a8): integer-MXU spatial
+    # convs (conv-only — dot/tconv quantization measured NEGATIVE e2e, see
+    # unet_sd_video.quantize_params). Labeled extra — a quality tradeoff
+    # (per-channel int8 weights, dynamic int8 activations; rel err vs bf16
+    # at the tiny config ~2-4%, tests/test_quantization.py) — the bf16
+    # number above stays the honest headline.
+    qparams = usv.quantize_params(params)
+    exe_q = steps.lower(qparams, x0, ctx).compile()
+    np.asarray(exe_q(qparams, x0, ctx), dtype=np.float32)
+    best_q = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(exe_q(qparams, x0, ctx), dtype=np.float32)
+        best_q = min(best_q, time.perf_counter() - t0)
+    per_q = (best_q - 0.033) / nsteps
+    out["video_unet_w8a8_cfg_steps_per_s"] = round(1.0 / per_q, 2)
+    return out
 
 
 def bench_sd_unet() -> dict:

@@ -196,3 +196,86 @@ def test_quantized_lm_head():
     hostn = quantize_host(jax.tree.map(np.asarray, params), bits=8,
                           head=False)
     assert not isinstance(hostn["lm_head"], dict)
+
+
+def test_w8a8_conv_and_dot_accuracy():
+    """The video UNet's serving-quantization primitives: conv2d dispatch on
+    the {"qc","s"} dict and matmul dispatch on {"q8","s"} match the f32
+    math within int8 tolerance (per-channel weight + dynamic per-tensor /
+    per-row activation scales)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.kernels.quantization import (
+        conv2d_w8a8,
+        matmul_maybe_quantized,
+        quantize_conv2d,
+        quantize_int8_a8,
+    )
+    from vitron_tpu.models.diffusion.layers import conv2d
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = jax.random.normal(ks[0], (2, 8, 8, 32))
+    w = jax.random.normal(ks[1], (3, 3, 32, 48)) * 0.05
+    b = jax.random.normal(ks[2], (48,)) * 0.1
+    want = conv2d(x, w, b, padding=1)
+    got = conv2d(x, quantize_conv2d(w), b, padding=1)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.03, rel
+    # stride-2 path (up/downsample convs)
+    want2 = conv2d(x, w, b, stride=2, padding=1)
+    got2 = conv2d(x, quantize_conv2d(w), b, stride=2, padding=1)
+    rel2 = float(jnp.linalg.norm(got2 - want2) / jnp.linalg.norm(want2))
+    assert rel2 < 0.03, rel2
+
+    xd = jax.random.normal(ks[2], (6, 10, 64))
+    wd = jax.random.normal(ks[3], (64, 96)) * 0.05
+    wantd = xd @ wd
+    gotd = matmul_maybe_quantized(xd, quantize_int8_a8(wd))
+    reld = float(jnp.linalg.norm(gotd - wantd) / jnp.linalg.norm(wantd))
+    assert reld < 0.03, reld
+    assert conv2d_w8a8(x, quantize_conv2d(w), padding=1).dtype == x.dtype
+
+
+def test_video_unet_w8a8_quality():
+    """quantize_params end-to-end on the tiny video UNet: the W8A8 forward
+    tracks the f32 forward within a few percent (random weights, zero-init
+    convs randomized so the output is nonzero)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.models.diffusion import unet_sd_video as usv
+
+    cfg = usv.UNetSDVideoConfig.tiny("t2v", context_dim=16, y_dim=16)
+    params = usv.init_params(jax.random.PRNGKey(0), cfg)
+    cnt = [0]
+
+    def rnd(p):
+        if (p.dtype == jnp.float32 and p.ndim >= 2
+                and float(jnp.abs(p).max()) == 0.0):
+            cnt[0] += 1
+            return jax.random.normal(jax.random.PRNGKey(cnt[0]),
+                                     p.shape) * 0.02
+        return p
+
+    params = jax.tree.map(rnd, params)
+    qp = usv.quantize_params(params, min_channels=8, min_dot_dim=8,
+                             min_tconv_dim=8)
+    n_q = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda v: int(v.dtype == jnp.int8), qp))
+    assert n_q > 10, n_q
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 8, 8, cfg.in_dim))
+    t = jnp.asarray([3.0, 5.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(8), (2, 77, cfg.context_dim))
+    want = usv.forward(params, cfg, x, t, y=ctx)
+    got = usv.forward(qp, cfg, x, t, y=ctx)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.06, rel
+    # production default is conv-only (dots/tconv measured negative e2e):
+    # no "q8"/"q8t" dicts appear, only "qc" conv weights
+    flat = jax.tree_util.tree_flatten_with_path(
+        usv.quantize_params(params, min_channels=8))[0]
+    keys = {str(path[-1]) for path, _ in flat}
+    assert not any("q8" in k for k in keys), keys
+    assert any("qc" in k for k in keys), keys

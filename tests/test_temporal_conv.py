@@ -107,3 +107,22 @@ def test_concat_mode_matches_shift_matmul():
     for u, v in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_w8a8_temporal_conv_matches_f32():
+    """Quantized {"q8t","s"} taps through temporal_conv_k3 track the f32
+    shift-matmul within int8 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.kernels.quantization import quantize_tconv
+    from vitron_tpu.kernels.temporal_conv import temporal_conv_k3
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = jax.random.normal(ks[0], (2, 6, 5, 8, 32))
+    w = jax.random.normal(ks[1], (3, 1, 32, 48)) * 0.1
+    bias = jax.random.normal(ks[2], (48,)) * 0.1
+    want = temporal_conv_k3(x, w, bias)
+    got = temporal_conv_k3(x, quantize_tconv(w), bias)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.03, rel

@@ -119,6 +119,10 @@ def dequantize(w: Union[jax.Array, Dict[str, jax.Array]]) -> jax.Array:
             return _unpack_int4(w["q4"]).astype(jnp.float32) * w["s"]
         if "qa8" in w:
             return w["qa8"].astype(jnp.float32) * w["s"]
+        if "q8" in w:
+            return w["q8"].astype(jnp.float32) * w["s"]
+        if "qc" in w:
+            return w["qc"].astype(jnp.float32) * w["s"]
         return w["q"].astype(jnp.float32) * w["s"]
     return w
 
@@ -165,6 +169,8 @@ def matmul_maybe_quantized(x: jax.Array, w) -> jax.Array:
                   @ w["lora_b"].astype(jnp.float32)) * w["lora_scale"]
         y = matmul_maybe_quantized(x, base)
         return y + bypass.astype(y.dtype)
+    if isinstance(w, dict) and "q8" in w:
+        return _w8a8_matmul(x, w)
     if isinstance(w, dict) and "qa8" in w:
         if w["qa8"].ndim == 2:
             return _w4a8_matmul(x, w)
@@ -205,6 +211,92 @@ def _quantized_dot(x: jax.Array, q: jax.Array) -> jax.Array:
         y = jnp.matmul(x8, q.astype(x.dtype))[:rows]
         return y.reshape(lead + (y.shape[-1],))
     return jnp.matmul(x, q.astype(x.dtype))
+
+
+def quantize_int8_a8(w: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel int8 weight for the W8A8 integer-MXU
+    dot ("q8" key): unlike {"q"} (weight-only, operand converted to bf16 in
+    the dot's memory pipeline — the right scheme for HBM-bound decode),
+    "q8" dots quantize the ACTIVATION too and run s8 x s8 -> s32 on the
+    integer MXU at 2x bf16 peak. Measured NEGATIVE e2e on the video
+    UNet's transformer dots (1.646 conv-only -> 1.56/1.35 with dots; the
+    per-row quant materialization passes lose to XLA's dot-epilogue
+    fusions — docs/PERF.md round-4 W8A8 notes); kept as a tested,
+    explicitly-enabled path (quantize_params(min_dot_dim=...))."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    return {"q8": q, "s": s}
+
+
+def _w8a8_matmul(x: jax.Array, w: Dict[str, jax.Array]) -> jax.Array:
+    """Dynamic per-row symmetric int8 activation quant -> s8 x s8 -> s32
+    integer-MXU dot -> f32 dequant. Inference-only (no custom_vjp)."""
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, w["q8"], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = (acc.astype(jnp.float32) * sx
+         * w["s"].astype(jnp.float32)).astype(x.dtype)
+    return y.reshape(lead + (y.shape[-1],))
+
+
+def quantize_tconv(w: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel int8 for the k=3 temporal conv taps
+    ("q8t" key; w [3, C, Co] or the torch-layout [3, 1, C, Co]). Consumed
+    by kernels/temporal_conv.temporal_conv_k3's W8A8 path. Measured
+    NEGATIVE e2e (1.646 conv-only -> 1.564 with tconv taps: three
+    separate int8 dots lose to the bf16 shift-matmul whose pad/add
+    partials fuse into dot epilogues); explicitly-enabled via
+    quantize_params(min_tconv_dim=...)."""
+    if w.ndim == 4:
+        w = w[:, 0]
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=(0, 1))
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    return {"q8t": q, "s": s}
+
+
+def quantize_conv2d(w: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel int8 for conv weights [kh, kw, ci, co].
+
+    Key is "qc" (not "q") so `matmul_maybe_quantized` never consumes a conv
+    weight by accident; `layers.conv2d` dispatches on it."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=(0, 1, 2))
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    return {"qc": q, "s": s}
+
+
+def conv2d_w8a8(x: jax.Array, w: Dict[str, jax.Array], stride: int = 1,
+                padding: int = 0) -> jax.Array:
+    """W8A8 convolution on the integer MXU: dynamic per-tensor symmetric
+    int8 activation quant -> s8 x s8 -> s32 conv -> f32 dequant.
+
+    The video UNet's 3x3 convs run at 90-98% of the bf16 MXU roofline
+    (docs/PERF.md round-4 attribution), so the only way past them
+    single-chip is the 2x-peak integer MXU: measured 1.66-1.97x on the
+    real [48,20,36,1280] / [48,40,72,640] shapes INCLUDING this dynamic
+    activation-quant chain (abs-max reduce + round/clip fuse into the
+    conv's operand read); e2e ZeroScope CFG step 1.52 -> 1.646 steps/s
+    with convs alone quantized. Inference-only: no custom_vjp, training
+    keeps bf16 weights."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    sx = jnp.maximum(ax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                  -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, w["qc"], (stride, stride),
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (w["s"] * sx)).astype(x.dtype)
 
 
 def quantize_llama(params: Dict[str, Any], bits: int = 8,

@@ -106,6 +106,32 @@ def _tconv_concat(x: jax.Array, w: jax.Array) -> jax.Array:
     return xcat @ w.reshape(3 * c, -1).astype(x.dtype)
 
 
+def _tconv_w8a8(x: jax.Array, w) -> jax.Array:
+    """Shift-matmul form on the integer MXU: w is the {"q8t": int8
+    [3, C, Co], "s": f32 [Co]} dict of quantization.quantize_tconv. The
+    activation is quantized ONCE (dynamic per-row symmetric int8) and all
+    three taps consume the same s8 operand — serving-only (no vjp)."""
+    b, f, n, c = x.shape
+    xf = x.reshape(-1, c).astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    sw = w["s"].astype(jnp.float32)
+
+    def tap(d):
+        acc = jax.lax.dot_general(xq, w["q8t"][d], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * sx * sw).astype(x.dtype)
+        return y.reshape(b, f, n, -1)
+
+    y = tap(1)
+    y0 = tap(0)[:, :-1]
+    y2 = tap(2)[:, 1:]
+    return (y
+            + jnp.pad(y0, ((0, 0), (1, 0), (0, 0), (0, 0)))
+            + jnp.pad(y2, ((0, 0), (0, 1), (0, 0), (0, 0))))
+
+
 def _tconv_xla(x: jax.Array, w: jax.Array) -> jax.Array:
     w0, w1, w2 = (w[i].astype(x.dtype) for i in range(3))
     y = x @ w1
@@ -155,6 +181,15 @@ def temporal_conv_k3(x: jax.Array, w: jax.Array, bias=None, *,
     the kernel and restored. Default = the XLA shift-matmul path (it wins
     or ties at every measured site, module docstring); the Pallas kernel
     is the tested record behind VITRON_TCONV=pallas."""
+    if isinstance(w, dict):
+        shape = x.shape
+        b, f, c = shape[0], shape[1], shape[-1]
+        n = 1
+        for s in shape[2:-1]:
+            n *= s
+        out = _tconv_w8a8(x.reshape(b, f, n, c), w)
+        out = out.reshape(shape[:-1] + (out.shape[-1],))
+        return out if bias is None else out + bias.astype(out.dtype)
     if w.ndim == 4:
         w = w[:, 0]
     if use_pallas is None:

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vitron_tpu.kernels.group_norm import group_norm_sums
+from vitron_tpu.kernels.quantization import matmul_maybe_quantized
 
 
 # ---------------------------------------------------------------- primitives
@@ -83,7 +84,16 @@ def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
 
     1x1 convs run as plain matmuls (XLA's conv lowering runs ~8 TF/s on
     current TPU runtimes vs 110 TF/s for dots; see kernels/conv2d.py for
-    the 3x3 experiments)."""
+    the 3x3 experiments).
+
+    A quantized weight (the {"qc", "s"} dict of
+    kernels/quantization.quantize_conv2d) routes to the W8A8 integer-MXU
+    path — serving-only, see unet_sd_video.quantize_params."""
+    if isinstance(w, dict):
+        from vitron_tpu.kernels.quantization import conv2d_w8a8
+
+        out = conv2d_w8a8(x, w, stride=stride, padding=padding)
+        return out if b is None else out + b.astype(out.dtype)
     if w.shape[0] == w.shape[1] == 1 and stride == 1 and padding == 0:
         out = x @ w[0, 0].astype(x.dtype)
         return out if b is None else out + b.astype(out.dtype)
@@ -197,13 +207,14 @@ def _mha(q, k, v, heads: int, scale: float) -> jax.Array:
 def cross_attention(p: Dict[str, Any], x, context, heads: int) -> jax.Array:
     """Reference CrossAttention (attention.py:109-190): q from x, k/v from
     context, no biases; out projection with bias."""
-    c = p["to_q"].shape[1] // heads
+    wq = p["to_q"]
+    c = (wq["q8"] if isinstance(wq, dict) else wq).shape[1] // heads
     scale = c ** -0.5
-    q = x @ p["to_q"]
-    k = context @ p["to_k"]
-    v = context @ p["to_v"]
+    q = matmul_maybe_quantized(x, wq)
+    k = matmul_maybe_quantized(context, p["to_k"])
+    v = matmul_maybe_quantized(context, p["to_v"])
     out = _mha(q, k, v, heads, scale)
-    return out @ p["out_w"] + p["out_b"]
+    return matmul_maybe_quantized(out, p["out_w"]) + p["out_b"]
 
 
 def self_attention(p: Dict[str, Any], x, heads: int) -> jax.Array:
@@ -219,13 +230,14 @@ def geglu_ff(p: Dict[str, Any], x) -> jax.Array:
     parity tests)."""
     from vitron_tpu.kernels import geglu_ff as _gf
 
-    if _gf.usable(x, p["proj_w"], p["out_w"]):
+    if (not isinstance(p["proj_w"], dict)
+            and _gf.usable(x, p["proj_w"], p["out_w"])):
         return _gf.geglu_ff_fused(x, p["proj_w"], p["proj_b"],
                                   p["out_w"], p["out_b"])
-    h = x @ p["proj_w"] + p["proj_b"]
+    h = matmul_maybe_quantized(x, p["proj_w"]) + p["proj_b"]
     a, gate = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.gelu(gate, approximate=False)
-    return h @ p["out_w"] + p["out_b"]
+    return matmul_maybe_quantized(h, p["out_w"]) + p["out_b"]
 
 
 def gated_self_attention(p: Dict[str, Any], x, objs, heads: int,

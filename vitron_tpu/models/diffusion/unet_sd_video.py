@@ -52,6 +52,7 @@ from vitron_tpu.models.diffusion.layers import (
     lin_w,
     timestep_embedding,
 )
+from vitron_tpu.kernels.quantization import matmul_maybe_quantized as mmq
 from vitron_tpu.models.diffusion.video_unet import temporal_conv_block
 
 
@@ -212,7 +213,8 @@ def _temporal_mha(p: Dict[str, Any], x: jax.Array, context: jax.Array,
     [BHW, F, C] transpose (the transposes pushed XLA's global layout
     assignment into batch-minor layouts; see docs/PERF.md video notes)."""
     b, f, n, hc = x.shape
-    d = p["to_q"].shape[1] // heads
+    wq = p["to_q"]
+    d = (wq["q8"] if isinstance(wq, dict) else wq).shape[1] // heads
     scale = d ** -0.5
     if context.shape[1] == f:
         from vitron_tpu.kernels import temporal_attention as _ta
@@ -221,14 +223,14 @@ def _temporal_mha(p: Dict[str, Any], x: jax.Array, context: jax.Array,
             # fused VPU frame-attention kernel: the XLA path's per-pixel
             # 24x24x64 dots run at ~4% MXU utilization and drag layout
             # copies with them (docs/PERF.md round-4 video notes)
-            q = x @ p["to_q"]
-            k = context @ p["to_k"]
-            v = context @ p["to_v"]
+            q = mmq(x, p["to_q"])
+            k = mmq(context, p["to_k"])
+            v = mmq(context, p["to_v"])
             out = _ta.frame_attention(q, k, v, heads, scale)
-            return out @ p["out_w"] + p["out_b"]
-    q = (x @ p["to_q"]).reshape(b, f, n, heads, d)
-    k = (context @ p["to_k"]).reshape(b, -1, n, heads, d)
-    v = (context @ p["to_v"]).reshape(b, -1, n, heads, d)
+            return mmq(out, p["out_w"]) + p["out_b"]
+    q = mmq(x, p["to_q"]).reshape(b, f, n, heads, d)
+    k = mmq(context, p["to_k"]).reshape(b, -1, n, heads, d)
+    v = mmq(context, p["to_v"]).reshape(b, -1, n, heads, d)
     sim = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k).astype(jnp.float32) * scale
     if v.dtype == jnp.bfloat16:
         # bf16 probability materialization (see layers._mha): per-pixel
@@ -240,10 +242,10 @@ def _temporal_mha(p: Dict[str, Any], x: jax.Array, context: jax.Array,
         out = jnp.einsum("bnhfg,bgnhd->bfnhd", pr.astype(jnp.bfloat16), v)
         out = out.astype(jnp.float32) / s.transpose(0, 3, 1, 2)[..., None]
         out = out.astype(v.dtype).reshape(b, f, n, hc)
-        return out @ p["out_w"] + p["out_b"]
+        return mmq(out, p["out_w"]) + p["out_b"]
     attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
     out = jnp.einsum("bnhfg,bgnhd->bfnhd", attn, v).reshape(b, f, n, hc)
-    return out @ p["out_w"] + p["out_b"]
+    return mmq(out, p["out_w"]) + p["out_b"]
 
 
 def temporal_transformer(p: Dict[str, Any], x: jax.Array, heads: int) -> jax.Array:
@@ -257,7 +259,7 @@ def temporal_transformer(p: Dict[str, Any], x: jax.Array, heads: int) -> jax.Arr
     # stats over (F, H, W, C/g); computed as per-frame partials (see
     # layers.group_norm stat_chunks)
     xn = group_norm(x, p["norm_s"], p["norm_b"], stat_chunks=f)
-    y = xn.reshape(b, f, h * w, c) @ p["proj_in_w"] + p["proj_in_b"]
+    y = mmq(xn.reshape(b, f, h * w, c), p["proj_in_w"]) + p["proj_in_b"]
     for blk in p["blocks"]:
         # BasicTransformerBlock with context_dim=None: attn2 degenerates to
         # self-attention (util.py:1009,536-540)
@@ -266,7 +268,7 @@ def temporal_transformer(p: Dict[str, Any], x: jax.Array, heads: int) -> jax.Arr
         yn = layer_norm(y, blk["norm2"])
         y = _temporal_mha(blk["attn2"], yn, yn, heads) + y
         y = geglu_ff(blk["ff"], layer_norm(y, blk["norm3"])) + y
-    y = y @ p["proj_out_w"] + p["proj_out_b"]
+    y = mmq(y, p["proj_out_w"]) + p["proj_out_b"]
     return y.reshape(b, f, h, w, c) + x_in
 
 
@@ -278,10 +280,10 @@ def spatial_transformer_linear(p: Dict[str, Any], x: jax.Array, context,
     b, h, w, c = x.shape
     x_in = x
     xn = group_norm(x, p["norm_s"], p["norm_b"])
-    y = xn.reshape(b, h * w, c) @ p["proj_in_w"] + p["proj_in_b"]
+    y = mmq(xn.reshape(b, h * w, c), p["proj_in_w"]) + p["proj_in_b"]
     for blk in p["blocks"]:
         y = basic_transformer_block(blk, y, context, None, heads)
-    y = y @ p["proj_out_w"] + p["proj_out_b"]
+    y = mmq(y, p["proj_out_w"]) + p["proj_out_b"]
     return y.reshape(b, h, w, -1) + x_in
 
 
@@ -579,6 +581,94 @@ def init_params(rng: jax.Array, cfg: UNetSDVideoConfig) -> Dict[str, Any]:
             "conv2_b": jnp.zeros((cfg.context_dim,)),
         }
     return params
+
+
+# ----------------------------------------------------------- quantization
+
+_QUANT_DOT_KEYS = frozenset((
+    "to_q", "to_k", "to_v", "out_w",     # spatial/temporal attention
+    "proj_w",                            # GEGLU FF up-projection
+    "proj_in_w", "proj_out_w",           # transformer in/out projections
+))
+
+
+def quantize_params(params: Dict[str, Any], min_channels: int = 64,
+                    min_dot_dim: Optional[int] = None,
+                    min_tconv_dim: Optional[int] = None) -> Dict[str, Any]:
+    """W8A8 serving quantization — spatial convs ONLY by default.
+
+    Every [3, 3, ci, co] spatial conv with ci, co >= min_channels goes to
+    the integer MXU (2x bf16 peak) as the {"qc", "s"} dict `layers.conv2d`
+    dispatches: per-out-channel int8 weight, dynamic per-tensor int8
+    activation. Measured on the ZeroScope CFG step: 1.52 -> 1.646 steps/s
+    (+8%; standalone conv sites run 1.66-1.97x bf16 INCLUDING the dynamic
+    activation-quant chain — docs/PERF.md round-4 W8A8 notes).
+
+    Two more classes are implemented + parity-tested but measured
+    NEGATIVE e2e, so they are off unless explicitly enabled:
+
+    - transformer projection dots (attention q/k/v/out, GEGLU FF, proj
+      in/out) with both dims >= min_dot_dim -> the {"q8", "s"} dict of
+      `matmul_maybe_quantized` (per-row dynamic activation int8).
+      conv+all-dots: 1.35 steps/s; conv+attention-dots-only (fused GEGLU
+      kept engaged): 1.56 — the per-row quant materialization passes
+      lose to XLA's dot-epilogue fusions, same physics as the r3
+      GN-stats arms.
+    - temporal k=3 conv taps [3, 1, c, co] with dims >= min_tconv_dim ->
+      the {"q8t", "s"} dict of `temporal_conv_k3`. conv+tconv: 1.564 —
+      three separate int8 dots lose to the bf16 shift-matmul whose
+      pad/add partials fuse into dot epilogues.
+
+    Everything else — conv_in/out (IO-critical, ci or co of 4), time-
+    embedding MLPs (2-row dots, precision-critical), norms, the attention
+    probability math (bf16) — stays full precision. Inference only: the
+    quantized tree is not differentiable.
+
+    Gated: serving applies it when VITRON_VUNET_QUANT=w8a8 (see
+    video_pipelines); bench reports the quantized rate as a labeled extra
+    next to the honest bf16 headline."""
+    from vitron_tpu.kernels.quantization import (
+        quantize_conv2d,
+        quantize_int8_a8,
+        quantize_tconv,
+    )
+
+    def conv_eligible(v) -> bool:
+        return (hasattr(v, "ndim") and v.ndim == 4
+                and v.shape[0] == 3 and v.shape[1] == 3
+                and v.shape[2] >= min_channels and v.shape[3] >= min_channels)
+
+    def dot_eligible(k, v) -> bool:
+        return (min_dot_dim is not None and k in _QUANT_DOT_KEYS
+                and hasattr(v, "ndim") and v.ndim == 2
+                and min(v.shape) >= min_dot_dim)
+
+    def tconv_eligible(v) -> bool:
+        # TemporalConvBlock_v2 taps, torch layout [3, 1, C, Co]
+        return (min_tconv_dim is not None
+                and hasattr(v, "ndim") and v.ndim == 4
+                and v.shape[0] == 3 and v.shape[1] == 1
+                and v.shape[2] >= min_tconv_dim and v.shape[3] >= min_tconv_dim)
+
+    def walk(p):
+        if isinstance(p, dict):
+            return {k: (quantize_conv2d(v) if conv_eligible(v)
+                        else quantize_int8_a8(v) if dot_eligible(k, v)
+                        else quantize_tconv(v) if tconv_eligible(v)
+                        else walk(v))
+                    for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            return type(p)(walk(v) for v in p)
+        return p
+
+    return walk(params)
+
+
+def quant_default() -> bool:
+    """VITRON_VUNET_QUANT=w8a8 opts serving into the quantized video UNet."""
+    import os
+
+    return os.environ.get("VITRON_VUNET_QUANT", "") == "w8a8"
 
 
 # ------------------------------------------------------------------ convert

@@ -70,6 +70,12 @@ class Text2VideoPipeline:
     def __init__(self, cfg: Text2VideoConfig, unet_params, vae_params,
                  text_params, tokenizer=None):
         self.cfg = cfg
+        if unet_sd_video.quant_default():
+            # VITRON_VUNET_QUANT=w8a8: integer-MXU conv quantization
+            # (unet_sd_video.quantize_params — measured 1.52 -> 1.65
+            # CFG steps/s, docs/PERF.md round-4 W8A8 notes; bf16 stays
+            # the default)
+            unet_params = unet_sd_video.quantize_params(unet_params)
         self.unet_params = unet_params
         self.vae_params = vae_params
         self.text_params = text_params
@@ -180,6 +186,8 @@ class Image2VideoPipeline:
                  text_params, tokenizer=None,
                  image_embedder: Optional[Callable] = None):
         self.cfg = cfg
+        if unet_sd_video.quant_default():
+            unet_params = unet_sd_video.quantize_params(unet_params)
         self.unet_params = unet_params
         self.vae_params = vae_params
         self.text_params = text_params

@@ -78,6 +78,9 @@ def temporal_conv_block(p, x):
         # y[:, t] = x[:, t-1] @ w0 + x[:, t] @ w1 + x[:, t+1] @ w2, zero pad
         # — temporal_conv_k3 owns both formulations (XLA default, Pallas
         # behind VITRON_TCONV=pallas) so the math lives in one place.
+        # A quantized {"q8t","s"} dict routes to the integer-MXU W8A8 path.
+        if isinstance(w_, dict):
+            return temporal_conv_k3(x, w_, b_.astype(x.dtype))
         return temporal_conv_k3(x, w_.astype(x.dtype), b_.astype(x.dtype))
 
     def gn(x, s, bias):
