@@ -579,6 +579,13 @@ def bench_sd_unet() -> dict:
         t0 = time.perf_counter()
         np.asarray(f_hi(params, x, ctx))
         hi = min(hi, time.perf_counter() - t0)
+    # NOT measured here: the W8A8 arm (unet2d.quantize_params,
+    # VITRON_UNET_QUANT=w8a8) — measured once on-chip at 22.3 steps/s vs
+    # 53.6 bf16 (2.4x SLOWER; docs/PERF.md round-4 notes). The SD step is
+    # ~37% MFU, not conv-roofline-bound like the video UNet's 90-98%
+    # convs, so the integer MXU's 2x peak buys nothing while the dynamic
+    # activation-quant chain adds HBM passes. Kept out of the recurring
+    # bench (the losing arm cost 220 s of compile per run).
     return {"sd_unet_cfg_steps_per_s": round(20 / (hi - lo), 2)}
 
 
@@ -642,16 +649,25 @@ def main():
     extras["decode_roofline_tok_s"] = round(roof, 1)
     extras["decode_roofline_frac"] = round(toks / roof, 3)
     if os.environ.get("VITRON_BENCH_EXTRAS", "1") == "1" and used == "7b":
+        import time as _time
         for fn in (bench_e2e_request, bench_spec_decode,
                    lambda: bench_spec_acceptance(toks),
                    bench_continuous_batching, bench_seem_fps,
                    bench_sd_unet, bench_video_unet):
+            name = fn.__name__
+            if name == "<lambda>":
+                name = "bench_spec_acceptance"
+            t0 = _time.perf_counter()
             try:
                 extras.update(fn())
             except Exception as e:
-                name = getattr(fn, "__name__", "bench_spec_acceptance")
                 print(f"# extra {name} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
+            # per-extra wall time on stderr: the full run is ~18 min on the
+            # tunnel host, dominated by compiles — this is the breakdown a
+            # budget-limited driver needs to trim from
+            print(f"# extra {name} took {_time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": f"vicuna-{used} decode tokens/sec/chip (greedy, {dtype_tag} weights)",

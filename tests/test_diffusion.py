@@ -413,3 +413,34 @@ def test_gligen_checkpoint_bundle_roundtrip(ref_openaimodel, tmp_path):
                          jnp.asarray([300]), jnp.asarray(ctx), objs)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                rtol=2e-4, atol=2e-4)
+
+def test_gligen_pipeline_w8a8_serving_knob(monkeypatch):
+    """VITRON_UNET_QUANT=w8a8 quantizes the resident UNet's 3x3 convs to
+    the int8-MXU form at pipeline construction; generation still runs e2e
+    and the output stays close to bf16. (The knob is a gated NEGATIVE-
+    result record on v5e — 22.3 vs 53.6 CFG steps/s, see
+    unet2d.quantize_params — this test pins that the path stays correct.)"""
+    from vitron_tpu.models.diffusion import gligen_pipeline as gp
+    from vitron_tpu.models.diffusion import unet2d as u, vae as v, clip_text as ct
+
+    cfg = gp.GligenConfig.tiny()
+    rngs = jax.random.split(jax.random.PRNGKey(0), 3)
+    unet_params = u.init_params(rngs[0], cfg.unet, grounding=True)
+    vae_params = v.init_params(rngs[1], cfg.vae)
+    text_params = ct.init_params(rngs[2], cfg.text)
+
+    def make():
+        pipe = gp.GligenPipeline(cfg, unet_params, vae_params, text_params,
+                                 tokenizer=_StubTokenizer())
+        return pipe.generate(
+            "a cat on a table", boxes=[[0.1, 0.1, 0.5, 0.5]],
+            phrases=["a cat"], guidance_scale=7.5,
+            rng=jax.random.PRNGKey(1), steps=5)
+
+    monkeypatch.delenv("VITRON_UNET_QUANT", raising=False)
+    want = np.asarray(make(), np.float32)
+    monkeypatch.setenv("VITRON_UNET_QUANT", "w8a8")
+    got = np.asarray(make(), np.float32)
+    # uint8 images out of a tiny random-weight UNet: just require broad
+    # agreement (the quantization rel-err test pins the tight bound)
+    assert np.mean(np.abs(got - want)) < 16.0

@@ -279,3 +279,44 @@ def test_video_unet_w8a8_quality():
     keys = {str(path[-1]) for path, _ in flat}
     assert not any("q8" in k for k in keys), keys
     assert any("qc" in k for k in keys), keys
+
+
+def test_sd_unet_w8a8_quality():
+    """unet2d.quantize_params end-to-end on the tiny SD UNet: the W8A8
+    forward tracks the f32 forward within a few percent, grounding
+    position_net stays untouched, and IO convs stay full precision."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.models.diffusion import unet2d
+
+    cfg = unet2d.UNetConfig.tiny()
+    params = unet2d.init_params(jax.random.PRNGKey(0), cfg, grounding=True)
+    cnt = [0]
+
+    def rnd(p):
+        if (p.dtype == jnp.float32 and p.ndim >= 2
+                and float(jnp.abs(p).max()) == 0.0):
+            cnt[0] += 1
+            return jax.random.normal(jax.random.PRNGKey(cnt[0]),
+                                     p.shape) * 0.02
+        return p
+
+    params = jax.tree.map(rnd, params)
+    qp = unet2d.quantize_params(params, min_channels=8)
+    n_q = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda v: int(v.dtype == jnp.int8), qp))
+    assert n_q > 5, n_q
+    # position_net (all 2-D linears) and the 4-channel IO convs untouched
+    assert all(not isinstance(v, dict)
+               for v in qp["position_net"].values())
+    assert qp["out_w"].dtype == params["out_w"].dtype
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, cfg.in_channels))
+    t = jnp.asarray([3.0, 5.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(8), (2, 77, cfg.context_dim))
+    objs = jax.random.normal(jax.random.PRNGKey(9), (2, 4, cfg.context_dim))
+    want = unet2d.forward(params, cfg, x, t, ctx, objs)
+    got = unet2d.forward(qp, cfg, x, t, ctx, objs)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.06, rel

@@ -92,6 +92,15 @@ class GligenPipeline:
     def __init__(self, cfg: GligenConfig, unet_params, vae_params, text_params,
                  inpaint_unet_params=None, tokenizer=None):
         self.cfg = cfg
+        if unet2d.quant_default():
+            # VITRON_UNET_QUANT=w8a8: integer-MXU conv quantization of the
+            # SD/GLIGEN image UNet. Measured NEGATIVE on v5e (22.3 vs 53.6
+            # CFG steps/s — see unet2d.quantize_params); the knob is a
+            # tested record for hardware where the tradeoff flips, bf16
+            # stays the default.
+            unet_params = unet2d.quantize_params(unet_params)
+            if inpaint_unet_params is not None:
+                inpaint_unet_params = unet2d.quantize_params(inpaint_unet_params)
         self.unet_params = unet_params
         self.inpaint_unet_params = inpaint_unet_params
         self.vae_params = vae_params

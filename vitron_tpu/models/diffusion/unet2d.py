@@ -276,6 +276,53 @@ def grounding_tokens(params, boxes, masks, text_embeddings) -> jax.Array:
     return position_net(params["position_net"], boxes, masks, text_embeddings)
 
 
+def quantize_params(params: Dict[str, Any],
+                    min_channels: int = 64) -> Dict[str, Any]:
+    """W8A8 quantization of the SD image UNet — spatial convs only.
+
+    Measured NEGATIVE e2e on-chip (kept as a gated, tested record so later
+    rounds don't re-litigate): the 512^2 CFG step runs **22.3 steps/s
+    quantized vs 53.6 bf16** (v5e, docs/PERF.md round-4 notes). Same arm
+    as `unet_sd_video.quantize_params`'s conv-only default — every
+    [3, 3, ci, co] conv with ci, co >= min_channels becomes the
+    {"qc", "s"} per-out-channel int8 dict `layers.conv2d` routes to the
+    integer MXU — but the physics lands the other way here: the video
+    UNet's convs run at 90-98% of the bf16 MXU roofline (int8's 2x peak
+    is the only headroom), while the SD step is ~37% MFU with shallow
+    N=320-class output channels, so the 2x peak buys nothing and the
+    dynamic activation-quant chain (abs-max reduce + int8
+    materialization per site) adds pure HBM overhead.
+
+    conv_in / out_w (ci or co of 4), attention/FF dots, position_net, and
+    all norms stay full precision. Inference-only: the quantized tree is
+    not differentiable. The VITRON_UNET_QUANT=w8a8 knob (`quant_default`)
+    exists for hardware where the tradeoff flips; bf16 is the default and
+    the bench headline."""
+    from vitron_tpu.kernels.quantization import quantize_conv2d
+
+    def eligible(v) -> bool:
+        return (hasattr(v, "ndim") and v.ndim == 4
+                and v.shape[0] == 3 and v.shape[1] == 3
+                and v.shape[2] >= min_channels and v.shape[3] >= min_channels)
+
+    def walk(p):
+        if isinstance(p, dict):
+            return {k: (quantize_conv2d(v) if eligible(v) else walk(v))
+                    for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            return type(p)(walk(v) for v in p)
+        return p
+
+    return walk(params)
+
+
+def quant_default() -> bool:
+    """VITRON_UNET_QUANT=w8a8 opts serving into the quantized image UNet."""
+    import os
+
+    return os.environ.get("VITRON_UNET_QUANT", "") == "w8a8"
+
+
 # ------------------------------------------------------------------ convert
 
 def convert_ldm_unet(sd, cfg: UNetConfig) -> Dict[str, Any]:
