@@ -66,6 +66,18 @@ def ref_conversation():
     return load_reference_module("vitron/conversation.py", "ref_conversation")
 
 
+@pytest.fixture(scope="session")
+def synth_weights(tmp_path_factory):
+    """Tiny synthetic weights dir covering the full serving manifest
+    (tests/synthetic_weights.py) — shared by the assembly and
+    sharded-serving suites (one build per session)."""
+    from tests import synthetic_weights
+
+    w = tmp_path_factory.mktemp("synth_weights")
+    synthetic_weights.build_all(w, "tiny")
+    return w
+
+
 def load_reference_package_module(dotted: str):
     """Import a module deep inside the reference tree by its real dotted path
     (e.g. 'modules.GLIGEN.demo.gligen.ldm.modules.attention'), fabricating

@@ -138,6 +138,170 @@ def build_llama_lora_clip(w: pathlib.Path, geometry: str) -> None:
     torch.save(sd, lbv / "pytorch_model.bin")
 
 
+def build_clip_tokenizer(w: pathlib.Path) -> None:
+    """Tiny CLIP-tokenizer stand-in (ids < 128 so they fit every tiny text
+    encoder's vocab): the assembly loads it with AutoTokenizer for SEEM
+    language prompts and the GLIGEN / video-diffusion text encoders."""
+    import transformers
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    words = ("a photo of the red cube dog cat running main object person "
+             "sky grass blue green sunset beach mountain car tree water "
+             "bird flying walking standing sitting woman man child house").split()
+    vocab = {"<pad>": 0, "<|startoftext|>": 1, "<|endoftext|>": 2,
+             "<unk>": 3}
+    vocab.update({t: 4 + i for i, t in enumerate(dict.fromkeys(words))})
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    transformers.PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", pad_token="<pad>",
+        bos_token="<|startoftext|>", eos_token="<|endoftext|>",
+    ).save_pretrained(w / "clip_tokenizer")
+
+
+def _tiny_ldm_vae_sd():
+    """Tiny ldm AutoencoderKL state dict (the build_gligen recipe, shared
+    so t2v/i2vgen can ship their own vae.pth)."""
+    import torch
+
+    from tests import torch_shims
+    from tests.conftest import load_reference_package_module
+
+    torch_shims.install()
+    vae_mod = load_reference_package_module(
+        "modules.GLIGEN.demo.gligen.ldm.modules.diffusionmodules.model")
+    torch.manual_seed(3)
+    enc = vae_mod.Encoder(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), dropout=0.0, in_channels=3,
+                          resolution=32, z_channels=4, double_z=True)
+    dec = vae_mod.Decoder(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), dropout=0.0, in_channels=3,
+                          resolution=32, z_channels=4)
+    quant = torch.nn.Conv2d(8, 8, 1)
+    post_quant = torch.nn.Conv2d(4, 4, 1)
+    sd = {}
+    sd.update({f"encoder.{k}": v for k, v in enc.state_dict().items()})
+    sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+    sd.update({f"quant_conv.{k}": v for k, v in quant.state_dict().items()})
+    sd.update({f"post_quant_conv.{k}": v
+               for k, v in post_quant.state_dict().items()})
+    return sd
+
+
+def build_video_extras(w: pathlib.Path) -> None:
+    """VAE + HF text encoder for the t2v/ and i2vgen/ dirs so the assembly
+    can register tasks D and G (the reference's diffusers pipelines bundle
+    these; our manifest ships them next to the UNet)."""
+    import torch
+    import transformers
+
+    for name in ("t2v", "i2vgen"):
+        vdir = w / name
+        vdir.mkdir(exist_ok=True)
+        torch.save(_tiny_ldm_vae_sd(), vdir / "vae.pth")
+        # hidden 1024 matches the synthetic UNets' context_dim (the tiny
+        # stand-in for open-clip ViT-H text, i2vgen clip_embedder.py)
+        torch.manual_seed(4)
+        text = transformers.CLIPTextModel(transformers.CLIPTextConfig(
+            vocab_size=128, hidden_size=1024, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=16, hidden_act="quick_gelu"))
+        text.save_pretrained(vdir / "text_encoder", safe_serialization=False)
+
+
+def _install_stablevideo_shims() -> None:
+    """Extra shims the vendored StableVideo cldm stack needs on top of
+    tests.torch_shims (torchvision.utils, a top-level `ldm` alias for the
+    StableVideo ldm tree, pytorch_lightning, omegaconf.ListConfig)."""
+    import sys
+    import types
+
+    import torch
+
+    from tests import torch_shims
+
+    torch_shims.install()
+
+    def mod(name, **attrs):
+        m = types.ModuleType(name)
+        m.__dict__.update(attrs)
+        sys.modules[name] = m
+        return m
+
+    if "torchvision.utils" not in sys.modules:
+        u = mod("torchvision.utils", make_grid=lambda *a, **k: None)
+        tv = sys.modules.get("torchvision")
+        if tv is not None:
+            tv.utils = u
+    if "ldm" not in sys.modules:
+        ldm = mod("ldm")
+        ldm.__path__ = [str((pathlib.Path("/root/reference") /
+                             "modules/StableVideo/ldm"))]
+    if "pytorch_lightning" not in sys.modules:
+        pl = mod("pytorch_lightning")
+        pl.LightningModule = type("LightningModule", (torch.nn.Module,), {})
+        pl.seed_everything = lambda *a, **k: None
+        mod("pytorch_lightning.utilities", rank_zero_only=lambda f: f)
+        mod("pytorch_lightning.utilities.distributed",
+            rank_zero_only=lambda f: f)
+        mod("pytorch_lightning.callbacks", Callback=object,
+            ModelCheckpoint=object)
+    oc = sys.modules.get("omegaconf") or mod("omegaconf")
+    if not hasattr(oc, "ListConfig"):
+        oc.ListConfig = type("ListConfig", (list,), {})
+    if "omegaconf.listconfig" not in sys.modules:
+        mod("omegaconf.listconfig", ListConfig=oc.ListConfig)
+
+
+def build_stablevideo_controlnet(w: pathlib.Path) -> None:
+    """Tiny ControlLDM bundles (control_sd15_canny/depth.pth layout:
+    control_model.* + model.diffusion_model.* + first_stage_model.* +
+    cond_stage_model.transformer.*) from the VENDORED StableVideo cldm/ldm
+    modules — key-schema drift in any converter fails the dry run."""
+    import torch
+    import transformers
+
+    from tests.conftest import load_reference_package_module
+
+    _install_stablevideo_shims()
+    sv_unet_mod = load_reference_package_module(
+        "modules.StableVideo.ldm.modules.diffusionmodules.openaimodel")
+    cldm_mod = load_reference_package_module("modules.StableVideo.cldm.cldm")
+
+    tiny = dict(image_size=8, in_channels=4, model_channels=32,
+                out_channels=4, num_res_blocks=1, attention_resolutions=(1, 2),
+                channel_mult=(1, 2), num_heads=2, use_spatial_transformer=True,
+                transformer_depth=1, context_dim=16, legacy=False)
+    torch.manual_seed(5)
+    unet = sv_unet_mod.UNetModel(**tiny).eval()
+    ctrl_kw = dict(tiny)
+    ctrl_kw.pop("out_channels")
+    control = cldm_mod.ControlNet(hint_channels=3, **ctrl_kw).eval()
+    torch.manual_seed(6)
+    text = transformers.CLIPTextModel(transformers.CLIPTextConfig(
+        vocab_size=128, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=16, hidden_act="quick_gelu")).eval()
+
+    def bundle(with_full_ldm: bool):
+        sd = {f"control_model.{k}": v for k, v in control.state_dict().items()}
+        if with_full_ldm:
+            sd.update({f"model.diffusion_model.{k}": v
+                       for k, v in unet.state_dict().items()})
+            sd.update({f"first_stage_model.{k}": v
+                       for k, v in _tiny_ldm_vae_sd().items()})
+            sd.update({f"cond_stage_model.transformer.{k}": v
+                       for k, v in text.state_dict().items()})
+        return sd
+
+    svdir = w / "stablevideo"
+    svdir.mkdir(exist_ok=True)
+    torch.save(bundle(True), svdir / "control_sd15_canny.pth")
+    torch.save(bundle(False), svdir / "control_sd15_depth.pth")
+
+
 def build_seem(w: pathlib.Path) -> None:
     """Tiny seem_focall_v1.pt from the vendored reference modules — the
     exact constructions the per-component parity tests use, assembled with
@@ -335,10 +499,17 @@ def build_all(weights_dir, geometry: str = "tiny") -> pathlib.Path:
     w = pathlib.Path(weights_dir)
     w.mkdir(parents=True, exist_ok=True)
     build_llama_lora_clip(w, geometry)
+    build_clip_tokenizer(w)
     build_seem(w)
     build_gligen(w)
     build_nla(w)
     build_video_unets(w)
+    build_video_extras(w)
+    try:
+        build_stablevideo_controlnet(w)
+    except Exception as e:  # vendored cldm needs heavy shims; a dry run
+        # without task F is still a dry run (the assembly reports it)
+        print(f"stablevideo controlnet bundle skipped: {e}")
     return w
 
 

@@ -1,4 +1,5 @@
 """Diffusion stack parity vs the vendored GLIGEN/ldm torch modules."""
+import chex
 import numpy as np
 import pytest
 
@@ -432,15 +433,50 @@ def test_gligen_pipeline_w8a8_serving_knob(monkeypatch):
     def make():
         pipe = gp.GligenPipeline(cfg, unet_params, vae_params, text_params,
                                  tokenizer=_StubTokenizer())
-        return pipe.generate(
+        out = pipe.generate(
             "a cat on a table", boxes=[[0.1, 0.1, 0.5, 0.5]],
             phrases=["a cat"], guidance_scale=7.5,
             rng=jax.random.PRNGKey(1), steps=5)
+        return pipe, out
+
+    def n_int8_leaves(tree):
+        return sum(1 for leaf in jax.tree.leaves(tree)
+                   if hasattr(leaf, "dtype") and leaf.dtype == jnp.int8)
 
     monkeypatch.delenv("VITRON_UNET_QUANT", raising=False)
-    want = np.asarray(make(), np.float32)
+    pipe, want = make()
+    assert n_int8_leaves(pipe.unet_params) == 0
+    want = np.asarray(want, np.float32)
     monkeypatch.setenv("VITRON_UNET_QUANT", "w8a8")
-    got = np.asarray(make(), np.float32)
+    pipe, got = make()
+    # the knob must actually have quantized convs: int8 'qc' leaves in the
+    # resident tree (if quant_default() silently broke, got==want and the
+    # closeness bound below would pass trivially)
+    assert n_int8_leaves(pipe.unet_params) > 0
+    got = np.asarray(got, np.float32)
     # uint8 images out of a tiny random-weight UNet: just require broad
     # agreement (the quantization rel-err test pins the tight bound)
     assert np.mean(np.abs(got - want)) < 16.0
+
+
+def test_quantize_params_idempotent():
+    """Applying quantize_params twice is a no-op for both UNets: already-
+    quantized {'qc'/'q8t','s'} dicts and int8 leaves are skipped, so a
+    double-quantize (e.g. env knob + explicit call) can't corrupt the tree
+    (round-4 advisor finding)."""
+    from vitron_tpu.models.diffusion import unet2d as u
+    from vitron_tpu.models.diffusion import unet_sd_video as usv
+
+    cfg2d = u.UNetConfig.tiny()
+    p2d = u.init_params(jax.random.PRNGKey(0), cfg2d)
+    q1 = u.quantize_params(p2d, min_channels=8)
+    q2 = u.quantize_params(q1, min_channels=8)
+    chex.assert_trees_all_equal(q1, q2)
+
+    cfgv = usv.UNetSDVideoConfig.tiny("t2v")
+    pv = usv.init_params(jax.random.PRNGKey(1), cfgv)
+    qv1 = usv.quantize_params(pv, min_channels=8, min_dot_dim=8,
+                              min_tconv_dim=8)
+    qv2 = usv.quantize_params(qv1, min_channels=8, min_dot_dim=8,
+                              min_tconv_dim=8)
+    chex.assert_trees_all_equal(qv1, qv2)

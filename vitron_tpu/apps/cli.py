@@ -18,9 +18,10 @@ import sys
 
 
 def build_argparser() -> argparse.ArgumentParser:
+    from vitron_tpu.apps.serve import add_checkpoint_args
+
     p = argparse.ArgumentParser(description="Vitron-TPU CLI inference")
-    p.add_argument("--base-model", help="HF Llama/Vicuna checkpoint dir")
-    p.add_argument("--lora", help="LoRA adapter dir (merged at load)")
+    add_checkpoint_args(p)
     p.add_argument("--image", help="input image path")
     p.add_argument("--video", help="input video path")
     p.add_argument("--prompt", required=True)
@@ -66,34 +67,15 @@ def _build_demo_system():
     return VitronSystem(engine)
 
 
-def _build_real_system(args):
-    import jax
-    import transformers
-
-    from vitron_tpu.models import vitron_model
-    from vitron_tpu.models.llm import llama, loader
-    from vitron_tpu.runtime.engine import VitronEngine
-    from vitron_tpu.runtime.system import VitronSystem
-
-    tokenizer = transformers.AutoTokenizer.from_pretrained(args.base_model)
-    llm_cfg = llama.LlamaConfig.vicuna_7b()
-    cfg = vitron_model.VitronConfig.serving(llm=llm_cfg)
-    params = vitron_model.init_params(jax.random.PRNGKey(0), cfg)
-    params["llm"] = jax.tree.map(
-        __import__("jax").numpy.asarray,
-        loader.load_pretrained_llama(args.base_model, llm_cfg, lora_path=args.lora))
-    engine = VitronEngine(params, cfg, tokenizer)
-    return VitronSystem(engine)
-
-
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    if not args.demo and not args.base_model:
-        print("error: provide --base-model or use --demo", file=sys.stderr)
+    if not args.demo and not args.base_model and not args.weights:
+        print("error: provide --weights DIR, --base-model, or --demo",
+              file=sys.stderr)
         return 2
     from vitron_tpu.utils.compile_cache import enable_compile_cache
 
@@ -104,7 +86,22 @@ def main(argv=None) -> int:
     from vitron_tpu.media.preprocess import load_image, load_video_frames
     from vitron_tpu.runtime.generation import SamplingConfig
 
-    system = _build_demo_system() if args.demo else _build_real_system(args)
+    if args.demo:
+        system = _build_demo_system()
+    else:
+        # real weights go through the production assembly: towers +
+        # projector + region extractor load from disk or the build refuses
+        # (never the r4 behavior of serving random-init towers,
+        # runtime/assembly.py). MissingWeightsError -> actionable exit.
+        from vitron_tpu.apps.serve import build_serving_system
+        from vitron_tpu.runtime.assembly import MissingWeightsError
+
+        try:
+            system, report = build_serving_system(args)
+        except MissingWeightsError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(report.summary(), file=sys.stderr)
 
     image = load_image(args.image) if args.image else None
     video = load_video_frames(args.video) if args.video else None

@@ -156,46 +156,18 @@ def _sha16(arr) -> str:
 
 
 def _llama_cfg_from_hf(base):
-    """LlamaConfig from an HF checkpoint dir's config.json."""
-    import json as _json
+    """LlamaConfig from an HF checkpoint dir's config.json (shared with the
+    production assembly, runtime/assembly.py)."""
+    from vitron_tpu.runtime.assembly import llama_cfg_from_hf
 
-    from vitron_tpu.models.llm import llama
-
-    cfg_file = base / "config.json"
-    if not cfg_file.exists():
-        return llama.LlamaConfig.vicuna_7b()
-    c = _json.loads(cfg_file.read_text())
-    return llama.LlamaConfig(
-        vocab_size=c.get("vocab_size", 32000),
-        hidden_size=c.get("hidden_size", 4096),
-        intermediate_size=c.get("intermediate_size", 11008),
-        num_layers=c.get("num_hidden_layers", 32),
-        num_heads=c.get("num_attention_heads", 32),
-        num_kv_heads=c.get("num_key_value_heads",
-                           c.get("num_attention_heads", 32)),
-        rope_theta=c.get("rope_theta", 10000.0),
-        rms_norm_eps=c.get("rms_norm_eps", 1e-5),
-        max_seq_len=min(c.get("max_position_embeddings", 4096), 4096))
+    return llama_cfg_from_hf(base)
 
 
 def _vit_cfg_from_hf(clip_dir):
     """ViTConfig from an HF CLIP dir's config.json (None when absent)."""
-    import json as _json
+    from vitron_tpu.runtime.assembly import vit_cfg_from_hf
 
-    from vitron_tpu.models.vision import vit
-
-    cfg_file = clip_dir / "config.json"
-    if not cfg_file.exists():
-        return None
-    c = _json.loads(cfg_file.read_text())
-    v = c.get("vision_config", c)
-    return vit.ViTConfig(
-        image_size=v.get("image_size", 224),
-        patch_size=v.get("patch_size", 14),
-        hidden_size=v.get("hidden_size", 1024),
-        num_layers=v.get("num_hidden_layers", 24),
-        num_heads=v.get("num_attention_heads", 16),
-        intermediate_size=v.get("intermediate_size", 4096))
+    return vit_cfg_from_hf(clip_dir)
 
 
 ACCEPTANCE_MANIFEST = """\
@@ -224,6 +196,17 @@ Every row present on disk must end `pass: true`; missing rows report
 `status: missing` (skipped, pass: null). Exit code 1 if any present row
 fails. `--geometry tiny` runs the same pipeline against synthetic tiny
 checkpoints (tests/synthetic_weights.py builds them) for a dry run.
+
+The SERVING assembly (runtime/assembly.build_system_from_weights,
+`vitron-serve --weights`) reads the same layout plus optional rows:
+
+  clip_tokenizer/       HF CLIP tokenizer (SEEM language + diffusion text)
+  t2v/vae.pth           ldm AutoencoderKL (else the GLIGEN VAE is shared)
+  t2v/text_encoder/     HF CLIPTextModel dir (open-clip ViT-H text)
+  i2vgen/vae.pth, i2vgen/text_encoder/    same for image-to-video
+  stablevideo/control_sd15_canny.pth      ControlLDM bundle -> task F
+  stablevideo/control_sd15_depth.pth      depth ControlNet arm
+  stablevideo/dpt_hybrid*.pt              MiDaS depth annotator
 """
 
 

@@ -326,17 +326,63 @@ def serve(system, host: str = "127.0.0.1", port: int = 8080,
     return None
 
 
+def build_serving_system(args):
+    """Resolve the serve/CLI checkpoint flags into a (system, report):
+    --weights builds the full A-G assembly (runtime/assembly.py,
+    the reference app.py:59-63 startup), --base-model a chat-only MLLM."""
+    from vitron_tpu.runtime import assembly
+
+    mesh = {"auto": "auto", "none": None}[args.mesh]
+    if args.weights:
+        return assembly.build_system_from_weights(
+            args.weights, geometry=args.geometry, quantize=args.quantize,
+            mesh=mesh, allow_random_towers=args.allow_random_towers)
+    return assembly.build_mllm_system(
+        args.base_model, lora=args.lora, clip_tower=args.clip_tower,
+        video_tower=args.video_tower, geometry=args.geometry,
+        quantize=args.quantize, mesh=mesh,
+        allow_random_towers=args.allow_random_towers)
+
+
+def add_checkpoint_args(p) -> None:
+    """Shared serve/CLI checkpoint flags (docs/API.md §4)."""
+    p.add_argument("--weights", metavar="DIR",
+                   help="weights dir (ACCEPTANCE_MANIFEST layout): loads "
+                        "every component present and registers tasks A-G")
+    p.add_argument("--base-model", help="HF Llama/Vicuna checkpoint dir "
+                                        "(chat-only alternative to --weights)")
+    p.add_argument("--lora", help="LoRA adapter dir (merged at load)")
+    p.add_argument("--clip-tower", help="HF CLIP vision tower dir "
+                                        "(with --base-model)")
+    p.add_argument("--video-tower", help="LanguageBind video tower dir "
+                                         "(with --base-model)")
+    p.add_argument("--quantize", choices=("", "int8", "int4"), default="",
+                   help="weight-only LLM quantization")
+    p.add_argument("--geometry", choices=("real", "tiny"), default="real",
+                   help="checkpoint geometry (tiny = the synthetic dry-run "
+                        "shapes, tests/synthetic_weights.py)")
+    p.add_argument("--mesh", choices=("auto", "none"), default="auto",
+                   help="auto: shard the LLM over all visible devices "
+                        "(fsdp x tensor) when more than one is attached")
+    p.add_argument("--allow-random-towers", action="store_true",
+                   help="permit missing vision towers (smoke tests only: "
+                        "image questions will be answered by a random-init "
+                        "tower)")
+
+
 def main(argv=None) -> int:
     import argparse
 
     p = argparse.ArgumentParser(description="Vitron-TPU HTTP server")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--demo", action="store_true")
+    p.add_argument("--demo", action="store_true",
+                   help="random tiny weights (no checkpoints)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="persistent XLA compile cache dir ('' disables; "
                         "default ~/.cache/vitron_tpu/xla)")
+    add_checkpoint_args(p)
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -345,12 +391,18 @@ def main(argv=None) -> int:
     from vitron_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache(args.compile_cache)
-    from vitron_tpu.apps.cli import _build_demo_system
+    if args.demo:
+        from vitron_tpu.apps.cli import _build_demo_system
 
-    if not args.demo:
-        print("only --demo serving is wired in this build; pass --demo")
+        serve(_build_demo_system(), args.host, args.port)
+        return 0
+    if not args.weights and not args.base_model:
+        print("provide --weights DIR (full A-G deployment), --base-model "
+              "(chat-only), or --demo")
         return 2
-    serve(_build_demo_system(), args.host, args.port)
+    system, report = build_serving_system(args)
+    print(report.summary())
+    serve(system, args.host, args.port)
     return 0
 
 

@@ -300,13 +300,22 @@ def quantize_params(params: Dict[str, Any],
     the bench headline."""
     from vitron_tpu.kernels.quantization import quantize_conv2d
 
+    import jax.numpy as jnp
+
     def eligible(v) -> bool:
+        # float-dtype guard makes double application a no-op: an already-
+        # quantized {'qc','s'} leaf's int8 'qc' is itself [3,3,ci,co]-shaped
+        # and would otherwise be re-wrapped into a nested dict that
+        # conv2d_w8a8 crashes on at trace time
         return (hasattr(v, "ndim") and v.ndim == 4
+                and jnp.issubdtype(v.dtype, jnp.floating)
                 and v.shape[0] == 3 and v.shape[1] == 3
                 and v.shape[2] >= min_channels and v.shape[3] >= min_channels)
 
     def walk(p):
         if isinstance(p, dict):
+            if "qc" in p and "s" in p:
+                return p
             return {k: (quantize_conv2d(v) if eligible(v) else walk(v))
                     for k, v in p.items()}
         if isinstance(p, (list, tuple)):

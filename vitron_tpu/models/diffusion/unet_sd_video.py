@@ -633,25 +633,35 @@ def quantize_params(params: Dict[str, Any], min_channels: int = 64,
         quantize_tconv,
     )
 
+    import jax.numpy as jnp
+
+    def _float(v) -> bool:
+        # double application must be a no-op: an already-quantized int8
+        # 'qc'/'q8t' leaf matches the shape predicates and would otherwise
+        # be re-wrapped into a nested dict that crashes at trace time
+        return jnp.issubdtype(v.dtype, jnp.floating)
+
     def conv_eligible(v) -> bool:
-        return (hasattr(v, "ndim") and v.ndim == 4
+        return (hasattr(v, "ndim") and v.ndim == 4 and _float(v)
                 and v.shape[0] == 3 and v.shape[1] == 3
                 and v.shape[2] >= min_channels and v.shape[3] >= min_channels)
 
     def dot_eligible(k, v) -> bool:
         return (min_dot_dim is not None and k in _QUANT_DOT_KEYS
-                and hasattr(v, "ndim") and v.ndim == 2
+                and hasattr(v, "ndim") and v.ndim == 2 and _float(v)
                 and min(v.shape) >= min_dot_dim)
 
     def tconv_eligible(v) -> bool:
         # TemporalConvBlock_v2 taps, torch layout [3, 1, C, Co]
         return (min_tconv_dim is not None
-                and hasattr(v, "ndim") and v.ndim == 4
+                and hasattr(v, "ndim") and v.ndim == 4 and _float(v)
                 and v.shape[0] == 3 and v.shape[1] == 1
                 and v.shape[2] >= min_tconv_dim and v.shape[3] >= min_tconv_dim)
 
     def walk(p):
         if isinstance(p, dict):
+            if ("qc" in p or "q8" in p or "q8t" in p) and "s" in p:
+                return p
             return {k: (quantize_conv2d(v) if conv_eligible(v)
                         else quantize_int8_a8(v) if dot_eligible(k, v)
                         else quantize_tconv(v) if tconv_eligible(v)

@@ -62,7 +62,7 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg, num_blocks: int = 512,
                  block_size: int = 16, chunk: int = 16, max_active: int = 8,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         import jax
 
         from vitron_tpu.models.llm.paged_cache import PagedServer
@@ -72,6 +72,18 @@ class ContinuousBatcher:
         llm_params = params["llm"] if "llm" in params else params
         self.server = PagedServer(llm_params, cfg.llm, num_blocks=num_blocks,
                                   block_size=block_size)
+        # multi-chip serving: pool KV heads on `tensor`, dense prefill
+        # caches placed on the mesh (runtime/sharded_serving.py; params are
+        # expected to be mesh-sharded already by install_mesh)
+        self._cache_sharding = None
+        if mesh is not None:
+            from vitron_tpu.runtime.sharded_serving import (
+                kv_cache_shardings, paged_pool_shardings)
+
+            pool_sh = paged_pool_shardings(mesh, cfg.llm)
+            self.server.pool.k = jax.device_put(self.server.pool.k, pool_sh)
+            self.server.pool.v = jax.device_put(self.server.pool.v, pool_sh)
+            self._cache_sharding = kv_cache_shardings(mesh, cfg.llm)
         self.chunk = chunk
         self.max_active = max_active
         self._queue: "queue.Queue[_Job]" = queue.Queue()
@@ -229,6 +241,8 @@ class ContinuousBatcher:
             # import needs ceil(seq_len/bs)*bs <= pad_len, which holds since
             # the planner buckets pad_len to a multiple of 128
             cache = llama.KVCache.create(self.cfg.llm, 1, max_len=pad_len)
+            if self._cache_sharding is not None:
+                cache = jax.device_put(cache, self._cache_sharding)
             tok0, ck, cv = self._prefill(
                 self.params, cache=cache,
                 seq_len=jnp.asarray([job.seq_len], jnp.int32), rng=rng,

@@ -77,6 +77,10 @@ class Generator:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # multi-chip serving (runtime/sharded_serving.install_mesh): a
+        # KVCache pytree of NamedShardings; fresh caches are device_put onto
+        # the mesh so they compose with mesh-sharded params in one program
+        self.cache_sharding = None
 
         def _prefill(params, **kw):
             return vitron_model.forward(params, cfg, **kw)
@@ -246,6 +250,8 @@ class Generator:
             # the verification window writes up to spec_k past the frontier
             max_len += spec_k + 1
         cache = llama.KVCache.create(cfg.llm, b, max_len=max_len)
+        if self.cache_sharding is not None:
+            cache = jax.device_put(cache, self.cache_sharding)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
 
         kwargs: Dict[str, Any] = {}

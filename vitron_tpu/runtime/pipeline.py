@@ -106,7 +106,8 @@ class ServingPipeline:
 
             self.batcher = ContinuousBatcher(
                 gen.params, gen.cfg, chunk=decode_chunk,
-                max_active=max_active, num_blocks=num_kv_blocks)
+                max_active=max_active, num_blocks=num_kv_blocks,
+                mesh=getattr(system, "serving_mesh", None))
             system.engine.batcher = self.batcher
         self._prep = concurrent.futures.ThreadPoolExecutor(
             num_workers, thread_name_prefix="vitron-prep")
