@@ -121,6 +121,69 @@ def test_mixed_sampling_cobatch(engine):
     assert all(isinstance(v, str) and v for v in out.values())
 
 
+def test_staged_admission_matches_single_stream(engine):
+    """A LONG prompt (pad bucket > prefill_chunk) goes through the staged
+    admission path (embed program + cache-offset prefill chunks) and must
+    produce exactly the single-stream greedy output."""
+    sampling = SamplingConfig(greedy=True, max_new_tokens=12)
+    prompt = " ".join(f"w{i}" for i in range(200))  # seq ~201 -> pad 256
+    single = engine.chat(prompt, sampling=sampling)
+    batcher = ContinuousBatcher(engine.generator.params, engine.generator.cfg,
+                                chunk=4, num_blocks=128, prefill_chunk=128)
+    engine.batcher = batcher
+    try:
+        batched = engine.chat(prompt, sampling=sampling)
+        trace = list(batcher._trace)
+    finally:
+        engine.batcher = None
+        batcher.close()
+    assert batched["raw"] == single["raw"]
+    assert trace.count("admit_embed") == 1, trace
+    assert trace.count("admit_chunk") == 2, trace  # ceil(201/128)
+    assert "admit_fused" not in trace
+
+
+def test_staged_admission_interleaves_with_decode(engine):
+    """While one stream decodes, a long-prompt admission advances one
+    prefill chunk per loop iteration WITH a decode chunk in between — the
+    active stream's cadence is delayed by at most one admission step per
+    decode chunk, never the whole prefill (r4 stall: the full multimodal
+    prefill ran inline on the device loop)."""
+    batcher = ContinuousBatcher(engine.generator.params, engine.generator.cfg,
+                                chunk=4, num_blocks=256, prefill_chunk=128)
+    engine.batcher = batcher
+    long_prompt = " ".join(f"w{i}" for i in range(300))  # pad 384 -> 3 chunks
+    out = {}
+
+    def run(name, prompt, n):
+        out[name] = engine.chat(
+            prompt, sampling=SamplingConfig(greedy=True,
+                                            max_new_tokens=n))["raw"]
+
+    try:
+        t1 = threading.Thread(target=run, args=("short", "hello stream", 64))
+        t1.start()
+        t2 = threading.Thread(target=run, args=("long", long_prompt, 8))
+        t2.start()
+        t1.join(timeout=600)
+        t2.join(timeout=600)
+        trace = list(batcher._trace)
+        stats = batcher.stats()
+    finally:
+        engine.batcher = None
+        batcher.close()
+    assert out["short"] and out["long"]
+    # every admission step of the long request has a decode chunk next to
+    # it: no two admit events are adjacent once a stream is active
+    admit_idx = [i for i, e in enumerate(trace)
+                 if e.startswith("admit_") and i > trace.index("decode")]
+    assert admit_idx, trace
+    for a, b in zip(admit_idx, admit_idx[1:]):
+        assert b - a >= 2, (a, b, trace)  # a decode ran in between
+    assert stats["admit_steps"] >= 4  # fused(short) + embed + 3 chunks
+    assert stats["admit_step_s_max"] > 0
+
+
 def test_serve_stats_reports_batching():
     """The HTTP server co-batches concurrent clients and /stats exposes
     the occupancy telemetry."""

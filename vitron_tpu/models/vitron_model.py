@@ -137,6 +137,33 @@ def encode_media(
     return feats, region_feats
 
 
+def spliced_embeds(
+    params: Dict[str, Any],
+    cfg: VitronConfig,
+    plan_token_ids: jax.Array,    # [B, L]
+    plan_media_idx: jax.Array,    # [B, L]
+    plan_use_media: jax.Array,    # [B, L] bool
+    images: Optional[jax.Array] = None,
+    videos: Optional[jax.Array] = None,
+    block_perm: Optional[jax.Array] = None,
+    region_boxes: Optional[jax.Array] = None,
+    region_block_idx: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Encode media and splice into text embeddings -> [B, L, H_llm].
+
+    The embedding half of `forward`, exposed so chunked prefill
+    (runtime/batching.py staged admission) can compute the full spliced
+    sequence ONCE and then feed the decoder in cache-offset chunks."""
+    image_feats, region_feats = encode_media(
+        params, cfg, images, videos, block_perm, region_boxes, region_block_idx)
+    embed_table = params["llm"]["embed"]
+    if image_feats is None:
+        return jnp.take(embed_table, plan_token_ids, axis=0)
+    return apply_splice(
+        embed_table, plan_token_ids, plan_media_idx, plan_use_media,
+        image_feats, region_feats)
+
+
 def forward(
     params: Dict[str, Any],
     cfg: VitronConfig,
@@ -158,15 +185,10 @@ def forward(
     `mesh` enables the llm's ring-attention path (cfg.llm.attn_impl="ring"):
     sequence-parallel prefill over the context axis for long-video QA — the
     capability the reference caps at 8 frames (processing_video.py:93)."""
-    image_feats, region_feats = encode_media(
-        params, cfg, images, videos, block_perm, region_boxes, region_block_idx)
-    embed_table = params["llm"]["embed"]
-    if image_feats is None:
-        embeds = jnp.take(embed_table, plan_token_ids, axis=0)
-    else:
-        embeds = apply_splice(
-            embed_table, plan_token_ids, plan_media_idx, plan_use_media,
-            image_feats, region_feats)
+    embeds = spliced_embeds(
+        params, cfg, plan_token_ids, plan_media_idx, plan_use_media,
+        images=images, videos=videos, block_perm=block_perm,
+        region_boxes=region_boxes, region_block_idx=region_block_idx)
     return llama.forward(
         params["llm"], cfg.llm, embeds, positions,
         attn_mask=attn_mask, cache=cache, mesh=mesh)

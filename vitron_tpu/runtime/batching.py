@@ -21,7 +21,18 @@ turns that into a serving loop:
 - sequences join/leave at chunk boundaries (the continuous-batching slot
   granularity); EOS / keyword-stop / budget are enforced host-side between
   chunks exactly like the single-stream chunked decode path
-  (runtime/generation.py _generate_chunked).
+  (runtime/generation.py _generate_chunked);
+- admission of LONG prompts is STAGED so it never stalls active streams
+  for the whole prefill: one program computes the spliced embeddings
+  (media encode + splice), then the decoder prefill runs in
+  `prefill_chunk`-token cache-offset chunks (llama.forward's cache path),
+  and the loop interleaves ONE decode chunk between admission steps. A
+  2048-token video admission thus delays co-batched decode by at most one
+  embed program + one prefill chunk per decode chunk, instead of the full
+  prompt. Prompts that fit in one chunk keep the fused single-program
+  admission (encode+splice+prefill+sample). Admission-stall telemetry
+  (`admit_step_s_max`, the longest single admission device step) is in
+  `stats()` next to occupancy.
 
 Trade-offs vs the single-stream path (both documented in docs/PERF.md):
 sampled requests share per-step PRNG keys with their chunk-mates, so
@@ -34,8 +45,10 @@ from __future__ import annotations
 
 import concurrent.futures
 import dataclasses
+import math
 import queue
 import threading
+import time
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -53,6 +66,21 @@ class _Job:
     out: Optional[List[int]] = None
 
 
+@dataclasses.dataclass
+class _Admission:
+    """In-flight staged admission: spliced embeds computed, prefill
+    advancing one cache-offset chunk per device-loop iteration."""
+    job: _Job
+    embeds: Any          # [1, pad_len, H] device array
+    positions: Any       # [1, pad_len]
+    attn_mask: Any       # [1, pad_len]
+    cache: Any           # llama.KVCache, index at chunk frontier
+    rng: Any
+    chunk: int           # prefill chunk size (divides pad_len)
+    n_chunks: int        # ceil(seq_len / chunk) — padding-only chunks skipped
+    i: int = 0
+
+
 class ContinuousBatcher:
     """Owns the LLM device loop for a serving process.
 
@@ -62,7 +90,7 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg, num_blocks: int = 512,
                  block_size: int = 16, chunk: int = 16, max_active: int = 8,
-                 seed: int = 0, mesh=None):
+                 seed: int = 0, mesh=None, prefill_chunk: int = 256):
         import jax
 
         from vitron_tpu.models.llm.paged_cache import PagedServer
@@ -86,13 +114,20 @@ class ContinuousBatcher:
             self._cache_sharding = kv_cache_shardings(mesh, cfg.llm)
         self.chunk = chunk
         self.max_active = max_active
+        self.prefill_chunk = prefill_chunk
         self._queue: "queue.Queue[_Job]" = queue.Queue()
         self._active: Dict[int, _Job] = {}
+        self._admitting: Optional[_Admission] = None
         self._rng = jax.random.PRNGKey(seed)
         self._prefill = jax.jit(self._prefill_fn)
+        self._embed = jax.jit(self._embed_fn)
+        self._chunk_prefills: Dict[int, Any] = {}
+        self._trace: List[str] = []       # device-loop event log (tests)
         self._lock = threading.Lock()
         self._stats = {"chunks": 0, "slot_tokens": 0, "emitted_tokens": 0,
-                       "admitted": 0, "finished": 0, "batch_sum": 0}
+                       "admitted": 0, "finished": 0, "batch_sum": 0,
+                       "admit_steps": 0, "admit_step_s_sum": 0.0,
+                       "admit_step_s_max": 0.0}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="vitron-batcher")
@@ -121,6 +156,55 @@ class ContinuousBatcher:
             logits, last[:, None, None], axis=1)[:, 0]
         tok0 = sample_token_batched(rng, next_logits, temp, top_p, greedy)
         return tok0[0], cache.k, cache.v
+
+    def _embed_fn(self, params, token_ids, media_idx, use_media, positions,
+                  attn_mask, images, videos, block_perm, region_boxes,
+                  region_block_idx):
+        """Stage 1 of chunked admission: full spliced embeddings in one
+        program (towers + projector + splice, no decoder)."""
+        del positions, attn_mask  # same kwargs dict as _prefill_fn
+        from vitron_tpu.kernels.quantization import promote_int4
+        from vitron_tpu.models import vitron_model
+
+        params = promote_int4(params)
+        return vitron_model.spliced_embeds(
+            params, self.cfg, token_ids, media_idx, use_media,
+            images=images, videos=videos, block_perm=block_perm,
+            region_boxes=region_boxes, region_block_idx=region_block_idx)
+
+    def _get_chunk_prefill(self, p: int):
+        """Stage 2 program: one `p`-token cache-offset prefill chunk
+        (llama.forward writes K/V at cache.index and attends the window).
+        Samples at seq_len-1 every chunk — only the final chunk's sample is
+        used, but one program then serves every chunk position."""
+        if p in self._chunk_prefills:
+            return self._chunk_prefills[p]
+        import jax
+        import jax.numpy as jnp
+
+        from vitron_tpu.kernels.quantization import promote_int4
+        from vitron_tpu.models.llm import llama
+        from vitron_tpu.models.llm.paged_cache import sample_token_batched
+
+        def _step(params, embeds, positions, attn_mask, cache, start,
+                  seq_len, rng, temp, top_p, greedy):
+            params = promote_int4(params)
+            h = embeds.shape[-1]
+            emb_c = jax.lax.dynamic_slice(embeds, (0, start, 0), (1, p, h))
+            pos_c = jax.lax.dynamic_slice(positions, (0, start), (1, p))
+            mask_c = jax.lax.dynamic_slice(attn_mask, (0, start), (1, p))
+            logits, cache = llama.forward(
+                params["llm"] if "llm" in params else params, self.cfg.llm,
+                emb_c, pos_c, attn_mask=mask_c, cache=cache)
+            idx = jnp.clip(seq_len - 1 - start, 0, p - 1).astype(jnp.int32)
+            next_logits = jnp.take_along_axis(
+                logits, idx[None, None, None], axis=1)[:, 0]
+            tok = sample_token_batched(rng, next_logits, temp, top_p, greedy)
+            return tok[0], cache
+
+        fn = jax.jit(_step, donate_argnums=(4,))
+        self._chunk_prefills[p] = fn
+        return fn
 
     # -------------------------------------------------------------- API
 
@@ -174,11 +258,19 @@ class ContinuousBatcher:
             "mean_batch_occupancy": round(s["batch_sum"] / chunks, 2),
             "slot_efficiency": round(
                 s["emitted_tokens"] / max(s["slot_tokens"], 1), 3),
+            "admit_step_s_mean": round(
+                s["admit_step_s_sum"] / max(s["admit_steps"], 1), 4),
+            "admit_step_s_max": round(s["admit_step_s_max"], 4),
         }
 
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5.0)
+        if self._admitting is not None:
+            job = self._admitting.job
+            if not job.future.done():
+                job.future.set_exception(RuntimeError("batcher closed"))
+            self._admitting = None
         for job in list(self._active.values()):
             if not job.future.done():
                 job.future.set_exception(RuntimeError("batcher closed"))
@@ -194,74 +286,180 @@ class ContinuousBatcher:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            admitted = self._admit_pending()
-            if not self._active:
-                if not admitted:
-                    try:
-                        job = self._queue.get(timeout=0.05)
-                    except queue.Empty:
-                        continue
-                    self._admit(job)
-                continue
-            try:
-                self._decode_chunk()
-            except Exception as e:  # fail active jobs, keep serving
-                for sid, job in list(self._active.items()):
-                    if not job.future.done():
-                        job.future.set_exception(e)
-                    self.server.finish(sid)
-                self._active.clear()
+            admitted = False
+            if self._admitting is None:
+                admitted = self._admit_pending()
+            if self._admitting is not None:
+                self._admit_step()
+            if self._active:
+                try:
+                    self._decode_chunk()
+                except Exception as e:  # fail active jobs, keep serving
+                    for sid, job in list(self._active.items()):
+                        if not job.future.done():
+                            job.future.set_exception(e)
+                        self.server.finish(sid)
+                    self._active.clear()
+            elif self._admitting is None and not admitted:
+                try:
+                    job = self._queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                self._begin(job)
 
     def _admit_pending(self) -> bool:
+        """Admit queued jobs up to capacity. Short prompts admit inline
+        (one fused program); the first LONG prompt becomes the staged
+        admission and stops the drain — its prefill chunks interleave with
+        decode on subsequent loop iterations."""
         admitted = False
-        while len(self._active) < self.max_active:
+        while (len(self._active) < self.max_active
+               and self._admitting is None):
             try:
                 job = self._queue.get_nowait()
             except queue.Empty:
                 break
-            self._admit(job)
+            self._begin(job)
             admitted = True
         return admitted
 
-    def _admit(self, job: _Job) -> None:
+    def _begin(self, job: _Job) -> None:
+        pad_len = job.arrays["token_ids"].shape[1]
+        if pad_len <= self.prefill_chunk:
+            self._admit(job)
+        else:
+            self._start_admission(job)
+
+    def _admit_rng_sampling(self, job: _Job):
         import jax
+
+        s = job.sampling
+        greedy = bool(s.greedy or s.temperature == 0.0)
+        if job.rng is not None:
+            rng = job.rng
+        else:
+            self._rng, rng = jax.random.split(self._rng)
+        return rng, greedy
+
+    def _timed_admit_step(self, tag: str, fn):
+        """Run one admission device step synchronously and record its wall
+        time as admission-stall telemetry (the loop is host-synchronous
+        anyway: decode chunks return host tokens every iteration)."""
+        import jax
+
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn())
+        dt = time.perf_counter() - t0
+        with self._lock:
+            self._stats["admit_steps"] += 1
+            self._stats["admit_step_s_sum"] += dt
+            self._stats["admit_step_s_max"] = max(
+                self._stats["admit_step_s_max"], dt)
+        self._trace_event(tag)
+        return out
+
+    def _trace_event(self, tag: str) -> None:
+        self._trace.append(tag)
+        if len(self._trace) > 2048:
+            del self._trace[:1024]
+
+    def _admit(self, job: _Job) -> None:
         import jax.numpy as jnp
 
         from vitron_tpu.models.llm import llama
 
         try:
             s = job.sampling
-            greedy = bool(s.greedy or s.temperature == 0.0)
-            if job.rng is not None:
-                rng = job.rng
-            else:
-                self._rng, rng = jax.random.split(self._rng)
+            rng, greedy = self._admit_rng_sampling(job)
             pad_len = job.arrays["token_ids"].shape[1]
             # dense prefill cache sized to the pad bucket; block-aligned
             # import needs ceil(seq_len/bs)*bs <= pad_len, which holds since
             # the planner buckets pad_len to a multiple of 128
             cache = llama.KVCache.create(self.cfg.llm, 1, max_len=pad_len)
             if self._cache_sharding is not None:
+                import jax
+
                 cache = jax.device_put(cache, self._cache_sharding)
-            tok0, ck, cv = self._prefill(
-                self.params, cache=cache,
-                seq_len=jnp.asarray([job.seq_len], jnp.int32), rng=rng,
-                temp=jnp.asarray([s.temperature], jnp.float32),
-                top_p=jnp.asarray([s.top_p], jnp.float32),
-                greedy=jnp.asarray([greedy], bool), **job.arrays)
-            tok0 = int(tok0)
-            sid = self.server.add_from_cache(ck, cv, job.seq_len, tok0)
-            job.sid = sid
-            job.out = [tok0]
-            with self._lock:
-                self._stats["admitted"] += 1
-            if self._job_done_after(job, tok0):
-                self._finish(job)
-            else:
-                self._active[sid] = job
+            tok0, ck, cv = self._timed_admit_step(
+                "admit_fused", lambda: self._prefill(
+                    self.params, cache=cache,
+                    seq_len=jnp.asarray([job.seq_len], jnp.int32), rng=rng,
+                    temp=jnp.asarray([s.temperature], jnp.float32),
+                    top_p=jnp.asarray([s.top_p], jnp.float32),
+                    greedy=jnp.asarray([greedy], bool), **job.arrays))
+            self._activate(job, int(tok0), ck, cv)
         except Exception as e:
             if not job.future.done():
                 job.future.set_exception(e)
+
+    def _start_admission(self, job: _Job) -> None:
+        """Stage a long-prompt admission: compute spliced embeddings now,
+        leave the decoder prefill to per-iteration chunks."""
+        import jax
+        import jax.numpy as jnp
+
+        from vitron_tpu.models.llm import llama
+
+        try:
+            rng, _ = self._admit_rng_sampling(job)
+            pad_len = job.arrays["token_ids"].shape[1]
+            # largest power-of-two-ish chunk <= prefill_chunk dividing the
+            # pad bucket (buckets are multiples of 128, so this is >= 128)
+            p = math.gcd(pad_len, self.prefill_chunk)
+            embeds = self._timed_admit_step(
+                "admit_embed", lambda: self._embed(self.params, **job.arrays))
+            cache = llama.KVCache.create(self.cfg.llm, 1, max_len=pad_len)
+            if self._cache_sharding is not None:
+                cache = jax.device_put(cache, self._cache_sharding)
+            self._admitting = _Admission(
+                job=job, embeds=embeds,
+                positions=job.arrays["positions"],
+                attn_mask=job.arrays["attn_mask"],
+                cache=cache, rng=rng, chunk=p,
+                n_chunks=max(1, -(-job.seq_len // p)))
+        except Exception as e:
+            if not job.future.done():
+                job.future.set_exception(e)
+
+    def _admit_step(self) -> None:
+        """Advance the staged admission by ONE prefill chunk; on the final
+        chunk, sample tok0 and activate the sequence."""
+        import jax.numpy as jnp
+
+        adm = self._admitting
+        job = adm.job
+        try:
+            s = job.sampling
+            greedy = bool(s.greedy or s.temperature == 0.0)
+            fn = self._get_chunk_prefill(adm.chunk)
+            tok, cache = self._timed_admit_step(
+                "admit_chunk", lambda: fn(
+                    self.params, adm.embeds, adm.positions, adm.attn_mask,
+                    adm.cache, jnp.int32(adm.i * adm.chunk),
+                    jnp.asarray(job.seq_len, jnp.int32), adm.rng,
+                    jnp.asarray([s.temperature], jnp.float32),
+                    jnp.asarray([s.top_p], jnp.float32),
+                    jnp.asarray([greedy], bool)))
+            adm.cache = cache
+            adm.i += 1
+            if adm.i >= adm.n_chunks:
+                self._admitting = None
+                self._activate(job, int(tok), cache.k, cache.v)
+        except Exception as e:
+            self._admitting = None
+            if not job.future.done():
+                job.future.set_exception(e)
+
+    def _activate(self, job: _Job, tok0: int, ck, cv) -> None:
+        sid = self.server.add_from_cache(ck, cv, job.seq_len, tok0)
+        job.sid = sid
+        job.out = [tok0]
+        with self._lock:
+            self._stats["admitted"] += 1
+        if self._job_done_after(job, tok0):
+            self._finish(job)
+        else:
+            self._active[sid] = job
 
     def _job_done_after(self, job: _Job, tok: int) -> bool:
         s = job.sampling
@@ -312,3 +510,4 @@ class ContinuousBatcher:
             self._stats["batch_sum"] += b
             self._stats["slot_tokens"] += b * self.chunk
             self._stats["emitted_tokens"] += emitted
+        self._trace_event("decode")
