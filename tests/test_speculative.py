@@ -246,6 +246,103 @@ def test_adaptive_fallback_resumes_exactly(tiny_setup, monkeypatch):
     assert out == ref
 
 
+def test_hypothetical_tpf_repetitive_vs_novel():
+    """The host-side probe replay scores a cyclic continuation high and a
+    novel (non-repeating) one at ~1 token/forward."""
+    from vitron_tpu.runtime.speculative import hypothetical_tpf
+
+    prompt = np.asarray([1, 5, 9, 7, 0, 0, 0, 0], np.int32)
+    cyclic = [3, 4, 6, 3, 4, 6, 3, 4, 6, 3, 4, 6, 3, 4, 6, 3]
+    novel = [11, 23, 37, 41, 53, 67, 71, 83, 97, 13, 17, 19, 29, 31, 43, 47]
+    hi = hypothetical_tpf(prompt, 4, cyclic, k=4, ngram=2)
+    lo = hypothetical_tpf(prompt, 4, novel, k=4, ngram=2)
+    assert hi > 2.0, hi
+    assert lo <= 1.1, lo
+
+
+def test_probe_policy_stays_plain(tiny_setup, monkeypatch):
+    """Default policy (speculative=None): the probe decodes the first chunk
+    plain; with the upgrade threshold forced unreachable the request stays
+    plain end-to-end — identical tokens, zero speculative device steps."""
+    from vitron_tpu.runtime.generation import Generator, SamplingConfig
+
+    monkeypatch.setenv("VITRON_SPEC", "1")
+    monkeypatch.setenv("VITRON_SPEC_TPF_MIN", "1000")
+    cfg, params = tiny_setup
+    gen = Generator(params, cfg)
+    plan, *_ = prepare_batch([[1, 5, 9, 7, 5, 9, 3]], [], pad_to=64,
+                             image_len=16)
+    s = SamplingConfig(greedy=True, max_new_tokens=48, eos_ids=())
+    ref = gen.generate(plan, sampling=s, speculative=False, decode_chunk=16)
+    out = gen.generate(plan, sampling=s, decode_chunk=16)
+    assert out == ref
+    assert gen.last_spec_stats["mode"] == "probe_plain"
+    assert gen.last_spec_stats["fell_back"] is False
+    assert "probe_tpf" in gen.last_spec_stats
+
+
+def test_probe_policy_upgrade_matches_plain(tiny_setup, monkeypatch):
+    """Force the threshold to 0 so the probe ALWAYS upgrades mid-stream:
+    the plain-chunk -> speculative-segment cache/history handoff
+    (spec_resume_state) must preserve the exact greedy continuation."""
+    from vitron_tpu.runtime.generation import Generator, SamplingConfig
+
+    monkeypatch.setenv("VITRON_SPEC", "1")
+    monkeypatch.setenv("VITRON_SPEC_TPF_MIN", "0")
+    cfg, params = tiny_setup
+    gen = Generator(params, cfg)
+    plan, *_ = prepare_batch([[1, 5, 9, 7, 5, 9, 3]], [], pad_to=64,
+                             image_len=16)
+    s = SamplingConfig(greedy=True, max_new_tokens=48, eos_ids=())
+    ref = gen.generate(plan, sampling=s, speculative=False, decode_chunk=16)
+    out = gen.generate(plan, sampling=s, decode_chunk=16)
+    assert out == ref
+    assert gen.last_spec_stats["mode"] == "probe_spec"
+
+
+def test_probe_policy_upgrade_with_stopper(tiny_setup, monkeypatch):
+    """Probe upgrade composes with the keyword stopper (host check between
+    segments) and still matches the plain continuation."""
+    from vitron_tpu.mm.tokenization import KeywordStopper
+    from vitron_tpu.runtime.generation import Generator, SamplingConfig
+
+    monkeypatch.setenv("VITRON_SPEC", "1")
+    monkeypatch.setenv("VITRON_SPEC_TPF_MIN", "0")
+    cfg, params = tiny_setup
+    gen = Generator(params, cfg)
+    plan, *_ = prepare_batch([[1, 5, 9, 7, 5, 9, 3]], [], pad_to=64,
+                             image_len=16)
+    s = SamplingConfig(greedy=True, max_new_tokens=40, eos_ids=())
+    stopper = KeywordStopper(["no-such-stop-string"], _IdTok(), prompt_len=0)
+    ref = gen.generate(plan, sampling=s, speculative=False, decode_chunk=16)
+    out = gen.generate(plan, sampling=s, stopper=stopper, decode_chunk=16)
+    assert out == ref
+
+
+def test_spec_env_modes(tiny_setup, monkeypatch):
+    """VITRON_SPEC=0 disables; =2 keeps the r4 immediate-speculation auto
+    (no probe chunk). Both must emit the plain greedy continuation."""
+    from vitron_tpu.runtime.generation import Generator, SamplingConfig
+
+    cfg, params = tiny_setup
+    gen = Generator(params, cfg)
+    plan, *_ = prepare_batch([[1, 5, 9, 7, 5, 9, 3]], [], pad_to=64,
+                             image_len=16)
+    s = SamplingConfig(greedy=True, max_new_tokens=16, eos_ids=())
+    ref = gen.generate(plan, sampling=s, speculative=False, decode_chunk=0)
+
+    monkeypatch.setenv("VITRON_SPEC", "0")
+    out0 = gen.generate(plan, sampling=s, decode_chunk=16)
+    assert out0 == ref
+    assert gen.last_spec_stats is None
+
+    monkeypatch.setenv("VITRON_SPEC", "2")
+    out2 = gen.generate(plan, sampling=s, decode_chunk=16)
+    assert out2 == ref
+    assert gen.last_spec_stats is not None
+    assert "mode" not in gen.last_spec_stats  # immediate path, no probe
+
+
 def test_speculative_rejects_batch(tiny_setup):
     cfg, params = tiny_setup
     rows = [[1, 5, 3], [1, 7, 3]]

@@ -182,6 +182,130 @@ class Generator:
             self._chunk_fns[key] = jax.jit(_chunk, donate_argnums=(3,))
         return self._chunk_fns[key]
 
+    def _run_spec_segments(self, params, state, row, rng, sampling, stopper,
+                           decode_chunk: int, spec_k: int, spec_ngram: int,
+                           extra_stats: Optional[Dict[str, Any]] = None):
+        """Adaptive segmented speculation from an arbitrary decode frontier
+        (post-prefill OR mid-stream probe upgrade). Falls back to plain
+        chunked decode on the same cache when measured acceptance drops
+        below break-even (VITRON_SPEC_TPF_MIN, docs/PERF.md)."""
+        import os as _os
+
+        seg = min(64, sampling.max_new_tokens)
+        _, seg_fn = self._get_spec_seg_fns(
+            sampling.max_new_tokens, spec_k, spec_ngram, sampling.eos_ids,
+            seg)
+        base = len(row)   # tokens that predate speculation
+        forwards = 0
+        tpf_min = float(_os.environ.get("VITRON_SPEC_TPF_MIN", "1.5"))
+        stop = (row[-1] in sampling.eos_ids
+                or (stopper is not None and stopper.should_stop(row)))
+        fell_back = False
+        while not stop and len(row) < sampling.max_new_tokens:
+            limit = jnp.int32(sampling.max_new_tokens - len(row))
+            toks, out_n, steps, state = seg_fn(params, state, limit)
+            toks_host = np.asarray(toks)
+            n, forwards = int(out_n), forwards + int(steps)
+            if n == 0:
+                break  # device done flag (EOS mid-previous-segment)
+            for t in toks_host[:n]:
+                row.append(int(t))
+                if (int(t) in sampling.eos_ids
+                        or (stopper is not None
+                            and stopper.should_stop(row))):
+                    stop = True
+                    break
+            if (not stop and forwards >= 8
+                    and (len(row) - base) / forwards < tpf_min):
+                fell_back = True
+                break
+        if fell_back and len(row) < sampling.max_new_tokens:
+            # low acceptance: resume as plain chunked decode on the
+            # speculative cache (state carries the accepted frontier)
+            last_tok, slot, pos_s = state[0], state[1], state[2]
+            cache = llama.KVCache(k=state[3], v=state[4], index=slot,
+                                  valid=state[5])
+            out_tokens = [row]
+            self._generate_chunked(
+                jnp.asarray([[int(last_tok)]], jnp.int32),
+                jnp.asarray([[int(pos_s)]], jnp.int32), cache,
+                out_tokens, np.zeros(1, bool), rng, sampling, stopper,
+                decode_chunk, record_first=False)
+            row = out_tokens[0]
+        self.last_spec_stats = {"emitted": len(row),
+                                "forwards": forwards + 1,  # +prefill
+                                "fell_back": fell_back,
+                                **(extra_stats or {})}
+        return row
+
+    def _probe_generate(self, params, plan, token, pos, cache, rng, sampling,
+                        stopper, decode_chunk: int, spec_k: int,
+                        spec_ngram: int) -> List[int]:
+        """Break-even-probed generation (the speculative default): first
+        chunk decodes PLAIN, then hypothetical_tpf replays prompt-lookup
+        acceptance on the emitted window at zero device cost. Low-acceptance
+        (caption-style) requests thus run at exactly plain-decode speed;
+        repetitive/quoting (protocol-style) requests upgrade to speculative
+        segments for the remaining budget."""
+        import os as _os
+
+        from vitron_tpu.runtime import speculative as spec_mod
+
+        eos = sampling.eos_ids
+        row = [int(token[0, 0])]
+        probe_stats = {"mode": "probe_plain", "probe_tpf": 0.0}
+        if (row[0] in eos
+                or (stopper is not None and stopper.should_stop(row))
+                or sampling.max_new_tokens <= 1):
+            self.last_spec_stats = {"emitted": len(row), "forwards": 1,
+                                    "fell_back": False, **probe_stats}
+            return row
+        chunk_fn = self._get_chunk_fn(decode_chunk, sampling.temperature,
+                                      sampling.top_p, sampling.greedy,
+                                      sampling.eos_ids)
+        rng, kk = jax.random.split(rng)
+        limit = jnp.int32(sampling.max_new_tokens - 1)
+        token, pos, cache, done_dev, emits, _ = chunk_fn(
+            params, token, pos, cache, jnp.zeros(1, bool), kk, limit)
+        stop = False
+        for t in np.asarray(emits)[0]:
+            t = int(t)
+            if t < 0:
+                break
+            row.append(t)
+            if (t in eos
+                    or (stopper is not None and stopper.should_stop(row))):
+                stop = True
+                break
+        tpf_hyp = spec_mod.hypothetical_tpf(
+            plan.token_ids[0], int(plan.seq_lens[0]), row,
+            k=spec_k, ngram=spec_ngram)
+        probe_stats["probe_tpf"] = round(tpf_hyp, 3)
+        if stop or bool(np.asarray(done_dev)[0]) \
+                or len(row) >= sampling.max_new_tokens:
+            self.last_spec_stats = {"emitted": len(row),
+                                    "forwards": len(row),
+                                    "fell_back": False, **probe_stats}
+            return row
+        tpf_min = float(_os.environ.get("VITRON_SPEC_TPF_MIN", "1.5"))
+        if tpf_hyp < tpf_min:
+            # stay plain: zero speculative device steps were taken
+            out_tokens = [row]
+            self._generate_chunked(token, pos, cache, out_tokens,
+                                   np.zeros(1, bool), rng, sampling, stopper,
+                                   decode_chunk, record_first=False)
+            self.last_spec_stats = {"emitted": len(out_tokens[0]),
+                                    "forwards": len(out_tokens[0]),
+                                    "fell_back": False, **probe_stats}
+            return out_tokens[0]
+        probe_stats["mode"] = "probe_spec"
+        state = spec_mod.spec_resume_state(
+            row[-1], cache, np.asarray(plan.token_ids[0], np.int32),
+            int(plan.seq_lens[0]), row, sampling.max_new_tokens, spec_k)
+        return self._run_spec_segments(
+            params, state, row, rng, sampling, stopper, decode_chunk,
+            spec_k, spec_ngram, extra_stats=probe_stats)
+
     def generate(
         self,
         plan,
@@ -241,10 +365,22 @@ class Generator:
         if decode_chunk is None and _has_packed_int4(params):
             decode_chunk = 128
         greedy = sampling.greedy or sampling.temperature == 0.0
+        # Speculation policy (docs/PERF.md "speculation break-even"): a
+        # spec step costs ~1.46x a plain step, so below ~1.5 accepted
+        # tokens/forward it is a net LOSS (measured 1.04 on caption-style
+        # novel text). The default is therefore a zero-device-cost PROBE:
+        # decode the first chunk plain, replay prompt-lookup acceptance on
+        # the emitted window host-side (exact for greedy — same history =>
+        # same drafts), and only upgrade to speculative segments when the
+        # measured hypothetical tokens/forward clears break-even.
+        #   VITRON_SPEC=0: off · =1 (default): probe · =2: immediate
+        # An explicit speculative=True keeps immediate speculation.
+        explicit = speculative is True
+        spec_env = _os.environ.get("VITRON_SPEC", "1")
         if speculative is None:
-            speculative = (greedy and b == 1
-                           and _os.environ.get("VITRON_SPEC", "1") != "0")
+            speculative = greedy and b == 1 and spec_env != "0"
         speculative = speculative and greedy and b == 1
+        probe = speculative and not explicit and spec_env != "2"
         max_len = max_cache_len or (pad_len + sampling.max_new_tokens)
         if speculative:
             # the verification window writes up to spec_k past the frontier
@@ -286,6 +422,11 @@ class Generator:
         done = np.zeros(b, bool)
         pos = jnp.asarray(seq_lens)[:, None]
 
+        if probe:
+            return [self._probe_generate(
+                params, plan, token, pos, cache, rng, sampling, stopper,
+                decode_chunk or 128, spec_k, spec_ngram)]
+
         if speculative and stopper is None:
             spec_fn = self._get_spec_fn(sampling.max_new_tokens, spec_k,
                                         spec_ngram, sampling.eos_ids)
@@ -317,50 +458,16 @@ class Generator:
             # acceptance decides whether to keep speculating or finish
             # with plain chunked decode on the same cache.
             seg = min(64, sampling.max_new_tokens)
-            init_fn, seg_fn = self._get_spec_seg_fns(
+            init_fn, _ = self._get_spec_seg_fns(
                 sampling.max_new_tokens, spec_k, spec_ngram,
                 sampling.eos_ids, seg)
             state = init_fn(token[0, 0], cache,
                             jnp.asarray(plan.token_ids[0], jnp.int32),
                             jnp.asarray(plan.seq_lens[0], jnp.int32))
             row = [int(token[0, 0])]
-            forwards = 0
-            tpf_min = float(_os.environ.get("VITRON_SPEC_TPF_MIN", "1.5"))
-            stop = (row[0] in sampling.eos_ids) or stopper.should_stop(row)
-            fell_back = False
-            while not stop and len(row) < sampling.max_new_tokens:
-                limit = jnp.int32(sampling.max_new_tokens - len(row))
-                toks, out_n, steps, state = seg_fn(params, state, limit)
-                toks_host = np.asarray(toks)
-                n, forwards = int(out_n), forwards + int(steps)
-                if n == 0:
-                    break  # device done flag (EOS mid-previous-segment)
-                for t in toks_host[:n]:
-                    row.append(int(t))
-                    if int(t) in sampling.eos_ids or stopper.should_stop(row):
-                        stop = True
-                        break
-                if (not stop and forwards >= 8
-                        and (len(row) - 1) / forwards < tpf_min):
-                    fell_back = True
-                    break
-            if fell_back and len(row) < sampling.max_new_tokens:
-                # low acceptance: resume as plain chunked decode on the
-                # speculative cache (state carries the accepted frontier)
-                last_tok, slot, pos_s = state[0], state[1], state[2]
-                cache = llama.KVCache(k=state[3], v=state[4], index=slot,
-                                      valid=state[5])
-                out_tokens = [row]
-                self._generate_chunked(
-                    jnp.asarray([[int(last_tok)]], jnp.int32),
-                    jnp.asarray([[int(pos_s)]], jnp.int32), cache,
-                    out_tokens, np.zeros(1, bool), rng, sampling, stopper,
-                    decode_chunk or 128, record_first=False)
-                row = out_tokens[0]
-            self.last_spec_stats = {"emitted": len(row),
-                                    "forwards": forwards + 1,  # +prefill
-                                    "fell_back": fell_back}
-            return [row]
+            return [self._run_spec_segments(
+                params, state, row, rng, sampling, stopper,
+                decode_chunk or 128, spec_k, spec_ngram)]
 
         if decode_chunk:
             return self._generate_chunked(

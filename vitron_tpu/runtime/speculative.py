@@ -108,6 +108,71 @@ def spec_init_state(tok0: jax.Array, cache: llama.KVCache,
             history, seq0 + 1, tok0_eos, jnp.int32(0))
 
 
+def hypothetical_tpf(prompt_row, seq_len: int, emitted, k: int = 4,
+                     ngram: int = 2) -> float:
+    """Host-side replay of the prompt-lookup acceptance on ALREADY-emitted
+    greedy tokens — the zero-device-cost speculation probe.
+
+    Greedy speculation emits exactly the greedy continuation, so the drafts
+    it WOULD have proposed depend only on (prompt, emitted-so-far) — both
+    known after a plain decode chunk. Simulating the accept loop on that
+    window therefore measures the exact tokens-per-forward speculation
+    would have achieved, without running a single speculative device step.
+    Returns emitted-tokens-per-forward over `emitted[1:]` (tok0 comes from
+    the prefill in both modes). Mirrors ngram_draft's device semantics:
+    most-recent n-gram match with a usable continuation, else repeat-last.
+    """
+    import numpy as np
+
+    seq = list(np.asarray(prompt_row[:seq_len]).tolist()) + [int(t) for t in emitted]
+    base = seq_len + 1          # first drafted position (after tok0)
+    total = len(seq)
+    if total - base <= 0:
+        return 0.0
+    forwards = 0
+    i = base
+    while i < total:
+        hist = seq[:i]
+        key = tuple(hist[-ngram:])
+        draft = None
+        # most recent occurrence of `key` with continuation inside hist
+        for s in range(len(hist) - ngram - 1, -1, -1):
+            if tuple(hist[s:s + ngram]) == key:
+                draft = hist[s + ngram:s + ngram + k]
+                break
+        if draft is None:
+            draft = [hist[-1]] * k
+        draft = (draft + [-1] * k)[:k]
+        acc = 0
+        while (acc < k and i + acc < total and draft[acc] == seq[i + acc]):
+            acc += 1
+        i += acc + 1
+        forwards += 1
+    return (total - base) / max(forwards, 1)
+
+
+def spec_resume_state(last_tok, cache: llama.KVCache, prompt_row,
+                      seq_len: int, emitted, n_new: int, k: int):
+    """Build a segment-loop state from a PLAIN chunked-decode frontier (the
+    probe-upgrade handoff, runtime/generation.py). `emitted` are the tokens
+    produced so far (tok0 first, last one NOT yet written to the cache —
+    exactly the chunked path's loop invariant, which matches the segment
+    body's: inputs = [last_tok, draft...] written at cache.index."""
+    import numpy as np
+
+    pad_len = int(np.shape(prompt_row)[0])
+    hist_size = pad_len + n_new + k + 1   # == spec_init_state's layout
+    history = np.zeros((hist_size,), np.int32)
+    history[:pad_len] = np.asarray(prompt_row, np.int32)
+    n_emit = len(emitted)
+    history[seq_len:seq_len + n_emit] = np.asarray(emitted, np.int32)
+    return (jnp.asarray(int(last_tok), jnp.int32), cache.index,
+            jnp.asarray(seq_len + n_emit - 1, jnp.int32),
+            cache.k, cache.v, cache.valid,
+            jnp.asarray(history), jnp.asarray(seq_len + n_emit, jnp.int32),
+            jnp.asarray(False), jnp.int32(0))
+
+
 def speculative_segment(
     params,
     cfg: vitron_model.VitronConfig,
