@@ -589,6 +589,97 @@ def bench_sd_unet() -> dict:
     return {"sd_unet_cfg_steps_per_s": round(20 / (hi - lo), 2)}
 
 
+def bench_resident_vs_reload(llm_turn_s: float | None) -> dict:
+    """The resident-weights win, quantified (VERDICT r4 item 8).
+
+    A full task-A request is: one LLM protocol turn (instruction + caption +
+    boxes) then a 50-step grounded GLIGEN generation
+    (reference app.py:89-120 -> task_grounded_generation.py:252). The
+    reference RELOADS the GLIGEN checkpoint from disk for every request
+    (app.py:94-103 re-runs load_ckpt); this framework keeps every backend
+    resident (runtime/assembly.py). Both arms share the resident LLM turn
+    (the reference keeps vicuna resident too), so the differential is
+    entirely the diffusion arm:
+
+      resident: 50 CFG steps on device-resident params, compiled once.
+      reload:   re-jit (fresh XLA compile) + host->device weight transfer
+                + the same 50 steps, per request — OUR framework's cost IF
+                it reloaded per request. Disk read (the reference's actual
+                torch.load, ~10-30 s for a 5 GB checkpoint) is EXCLUDED, so
+                the reported reload arm is a LOWER bound on per-request-
+                reload cost; the resident/reload ratio is conservative.
+
+    llm_turn_s: the measured e2e_request_s from bench_e2e_request (the
+    protocol turn proxy: encode + prefill + 128-token decode), composed in.
+    Transfer is measured over this host's TPU tunnel and reported
+    separately so a local-host reader can re-derive the ratio."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vitron_tpu.models.diffusion import unet2d
+
+    cfg = unet2d.UNetConfig.sd_v1()
+    params = jax.jit(lambda k: unet2d.init_params(k, cfg, grounding=True))(
+        jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                          if x.dtype == jnp.float32 else x, params)
+    host_params = jax.device_get(params)  # the "checkpoint" (host RAM)
+    x = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)
+    ctx = jnp.zeros((2, 77, cfg.context_dim), jnp.bfloat16)
+    objs = jnp.zeros((2, 30, cfg.context_dim), jnp.bfloat16)  # 30 GLIGEN slots
+
+    def make_steps():
+        @jax.jit
+        def steps(params, x, ctx, objs):
+            def body(x, t):
+                eps = unet2d.forward(params, cfg, x, jnp.full((2,), t), ctx,
+                                     objs=objs)
+                return x - 0.01 * eps.astype(x.dtype), None
+
+            x, _ = jax.lax.scan(body, x, jnp.arange(50, dtype=jnp.float32))
+            return x
+        return steps
+
+    # resident arm
+    steps = make_steps()
+    np.asarray(steps(params, x, ctx, objs))  # compile (not counted: one-time)
+    sd_res = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(steps(params, x, ctx, objs))
+        sd_res = min(sd_res, time.perf_counter() - t0)
+
+    # reload arm: fresh transfer + fresh compile + the same 50 steps
+    t0 = time.perf_counter()
+    params2 = jax.device_put(host_params)
+    jax.block_until_ready(params2)
+    transfer_s = time.perf_counter() - t0
+    jax.clear_caches()  # drop the compiled executable: per-request re-jit
+    t0 = time.perf_counter()
+    np.asarray(make_steps()(params2, x, ctx, objs))
+    sd_reload = time.perf_counter() - t0  # compile + transfer-free run
+
+    llm = float(llm_turn_s) if llm_turn_s else 0.0
+    res_req = llm + sd_res
+    rel_req = llm + sd_reload + transfer_s
+    out = {
+        "taskA_resident_request_s": round(res_req, 2),
+        "taskA_resident_req_per_min": round(60.0 / res_req, 2),
+        "taskA_reload_request_s": round(rel_req, 2),
+        "taskA_reload_req_per_min": round(60.0 / rel_req, 2),
+        "taskA_resident_speedup": round(rel_req / res_req, 1),
+        "taskA_reload_transfer_s": round(transfer_s, 2),
+        "taskA_reload_note": ("reload arm = re-jit + weight re-transfer + "
+                              "50 steps; reference's per-request disk "
+                              "torch.load EXCLUDED (lower bound)"),
+    }
+    if not llm_turn_s:
+        out["taskA_note"] = "llm turn unavailable; diffusion arm only"
+    return out
+
+
 V5E_HBM_BYTES_S = 819e9   # v5e HBM bandwidth
 V5E_BF16_FLOPS = 197e12   # v5e bf16 peak
 
@@ -650,13 +741,19 @@ def main():
     extras["decode_roofline_frac"] = round(toks / roof, 3)
     if os.environ.get("VITRON_BENCH_EXTRAS", "1") == "1" and used == "7b":
         import time as _time
-        for fn in (bench_e2e_request, bench_spec_decode,
-                   lambda: bench_spec_acceptance(toks),
-                   bench_continuous_batching, bench_seem_fps,
-                   bench_sd_unet, bench_video_unet):
-            name = fn.__name__
-            if name == "<lambda>":
-                name = "bench_spec_acceptance"
+        # resident_vs_reload goes LAST: its reload arm calls
+        # jax.clear_caches(), which would force every later extra to re-jit
+        for name, fn in (
+                ("bench_e2e_request", bench_e2e_request),
+                ("bench_spec_decode", bench_spec_decode),
+                ("bench_spec_acceptance", lambda: bench_spec_acceptance(toks)),
+                ("bench_continuous_batching", bench_continuous_batching),
+                ("bench_seem_fps", bench_seem_fps),
+                ("bench_sd_unet", bench_sd_unet),
+                ("bench_video_unet", bench_video_unet),
+                ("bench_resident_vs_reload",
+                 lambda: bench_resident_vs_reload(
+                     extras.get("e2e_request_s")))):
             t0 = _time.perf_counter()
             try:
                 extras.update(fn())

@@ -25,6 +25,39 @@ import pathlib
 
 import pytest
 
+# Persistent XLA compile cache for the suite: this 1-core host spends most
+# of its test wall time in XLA:CPU compilation of the same tiny programs
+# run after run. Warm runs replay executables from disk (measured ~2x).
+# Disable with VITRON_TEST_COMPILE_CACHE="" (e.g. for compile-path tests).
+_cache_dir = os.environ.get(
+    "VITRON_TEST_COMPILE_CACHE",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".cache" / "xla_test"))
+if _cache_dir:
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--nightly", action="store_true", default=False,
+        help="also run tests marked nightly (real-geometry parity and "
+             "characterization tests; once per round)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--nightly") or os.environ.get("VITRON_NIGHTLY") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="nightly: run with --nightly or VITRON_NIGHTLY=1")
+    for item in items:
+        if "nightly" in item.keywords:
+            item.add_marker(skip)
+
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 

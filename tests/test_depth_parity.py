@@ -38,6 +38,7 @@ def ref_dpt():
     return model
 
 
+@pytest.mark.nightly
 def test_dpt_hybrid_full_parity(ref_dpt):
     import torch
 

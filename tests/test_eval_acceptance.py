@@ -58,6 +58,7 @@ def test_acceptance_suite_from_disk(weights_dir):
     assert report["all_present_pass"] is True
 
 
+@pytest.mark.nightly
 def test_acceptance_full_manifest(full_weights_dir):
     """The one-command dry run: every manifest row present -> every row
     must load through its converter, run its task, and pass."""

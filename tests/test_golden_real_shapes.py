@@ -18,6 +18,10 @@ from tests.conftest import load_reference_package_module
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
+# real-geometry builds cost ~3 min of this 1-core host's suite wall; the
+# shipping shapes never change between commits, so these run per-round
+pytestmark = pytest.mark.nightly
+
 
 def test_clip_vit_l14_real_shape_parity():
     """Full CLIP ViT-L/14 image tower at 224^2 (the deployed geometry:

@@ -237,6 +237,7 @@ def test_w8a8_conv_and_dot_accuracy():
     assert conv2d_w8a8(x, quantize_conv2d(w), padding=1).dtype == x.dtype
 
 
+@pytest.mark.nightly
 def test_video_unet_w8a8_quality():
     """quantize_params end-to-end on the tiny video UNet: the W8A8 forward
     tracks the f32 forward within a few percent (random weights, zero-init

@@ -206,6 +206,7 @@ def test_video_editing_route_foreground_and_background(tiny_cfg):
     assert (frames[inside].astype(int) - original[inside].astype(int) != 0).any()
 
 
+@pytest.mark.nightly
 def test_advanced_edit_foreground_aggnet():
     """AGGNet refinement runs and returns a finite atlas (app.py:256-276)."""
     from vitron_tpu.models.diffusion import stablevideo as sv

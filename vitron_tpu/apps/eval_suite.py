@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from typing import Any, Dict
 
@@ -188,9 +189,12 @@ and the acceptance task run on it:
                         (demo/app.py:81-91)                    -> one 9-channel UNet step
   stablevideo/<name>/   NLA atlas checkpoint + config.json
                         (atlas_utils.py:75-80)                 -> UV eval + render hash
-  i2vgen/*.pth          UNetSD_I2VGen (app.py:324 equivalent)  -> convert + param count
+  i2vgen/*.pth          UNetSD_I2VGen (app.py:324 equivalent)  -> one v-pred DDIM step hash
   t2v/*.pth             UNetSD_T2VBase / ZeroScope
-                        (app.py:228 equivalent)                -> convert + param count
+                        (app.py:228 equivalent)                -> one v-pred DDIM step hash
+                        (on CPU acceptance hosts the real-geometry step is
+                        skipped — multi-minute forward — unless
+                        VITRON_ACCEPT_FORWARD=1)
 
 Every row present on disk must end `pass: true`; missing rows report
 `status: missing` (skipped, pass: null). Exit code 1 if any present row
@@ -372,7 +376,10 @@ def run_acceptance_suite(weights: str, seed: int = 0,
             jnp.asarray(image, jnp.float32), (size, size, 3), "linear"),
             jnp.uint8)
         if (w / "clip_tokenizer").is_dir():
-            tok = transformers.CLIPTokenizer.from_pretrained(
+            # AutoTokenizer, matching the serving assembly: handles both
+            # the slow (vocab.json+merges.txt) and fast (tokenizer.json)
+            # on-disk formats; CLIPTokenizer alone crashes on fast-only dirs
+            tok = transformers.AutoTokenizer.from_pretrained(
                 str(w / "clip_tokenizer"))
             ids = seem_lang.tokenize(tok, ["the main object"],
                                      scfg.lang.context_length)
@@ -498,19 +505,49 @@ def run_acceptance_suite(weights: str, seed: int = 0,
             n_params = sum(int(np.prod(np.shape(x)))
                            for x in jax.tree.leaves(vp))
             out = {"load_seconds": dt, "params": n_params, "pass": n_params > 0}
-            if tiny:  # one denoise step (real geometry is a multi-minute
-                # CPU forward; the parity suite covers its numerics)
-                x = jnp.asarray(rs.randn(1, 2, 8, 8, 4), jnp.float32)
+            # One v-pred DDIM denoise step with an output hash, so the row is
+            # evidence the converted weights RUN, not just that they loaded —
+            # matching the rigor of the SEEM/GLIGEN rows. Always at tiny
+            # geometry; at real geometry whenever an accelerator is attached
+            # (a real-geometry forward on the CPU acceptance host is
+            # multi-minute, so CPU keeps converter-only + a 'skipped' note;
+            # VITRON_ACCEPT_FORWARD=1 forces it anywhere).
+            run_fwd = (tiny or jax.default_backend() != "cpu"
+                       or os.environ.get("VITRON_ACCEPT_FORWARD") == "1")
+            if not run_fwd:
+                out["step"] = "skipped (CPU host; parity suite covers numerics)"
+                return out
+            if tiny:
+                f, lh, lw = 2, 8, 8
                 y = jnp.asarray(rs.randn(1, 3, 1024) * 0.02, jnp.float32)
-                kw = {}
-                if variant == "i2vgen":
-                    kw = dict(image=jnp.zeros((1, vcfg.y_dim), jnp.float32),
-                              local_image=jnp.zeros((1, 8, 8, 4), jnp.float32),
-                              fps=jnp.asarray([8.0]))
-                eps = np.asarray(unet_sd_video.forward(
-                    vp, vcfg, x, jnp.asarray([7.0]), y=y, **kw))
-                out["pass"] = bool(np.isfinite(eps).all())
-                out["eps_sha16"] = _sha16(np.asarray(eps, np.float32))
+            else:  # deployed latent geometry (video_pipelines.py defaults)
+                f, lh, lw = (16, 32, 32) if variant == "i2vgen" else (24, 40, 72)
+                y = jnp.asarray(rs.randn(1, 77, 1024) * 0.02, jnp.float32)
+            x = jnp.asarray(rs.randn(1, f, lh, lw, 4), jnp.float32)
+            kw = {}
+            if variant == "i2vgen":
+                kw = dict(image=jnp.zeros((1, vcfg.y_dim), jnp.float32),
+                          local_image=jnp.zeros((1, lh, lw, 4), jnp.float32),
+                          fps=jnp.asarray([8.0]))
+            v_hat = unet_sd_video.forward(vp, vcfg, x, jnp.asarray([981.0]),
+                                          y=y, **kw)
+            # v-pred DDIM update (samplers.ddim_sample_v step math): one step
+            # 981 -> 961 on the pipeline's zero-terminal-SNR cosine schedule
+            # (video_pipelines._schedule)
+            from vitron_tpu.models.diffusion import samplers
+
+            sched = samplers.DiffusionSchedule.create(
+                "cosine", 1000, zero_terminal_snr=True)
+            ac = np.asarray(sched.alphas_cumprod, np.float64)
+            a_t, a_prev = float(ac[981]), float(ac[961])
+            v32 = np.asarray(v_hat, np.float32)
+            x32 = np.asarray(x, np.float32)
+            x0 = np.sqrt(a_t) * x32 - np.sqrt(1 - a_t) * v32
+            eps = np.sqrt(a_t) * v32 + np.sqrt(1 - a_t) * x32
+            x_prev = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
+            out["pass"] = bool(np.isfinite(x_prev).all())
+            out["step_geometry"] = [1, f, lh, lw, 4]
+            out["step_sha16"] = _sha16(np.asarray(x_prev, np.float32))
             return out
 
         _row(f"6_{name}_unet", bool(pths), str(vdir / "*.pth"), _row_unet)

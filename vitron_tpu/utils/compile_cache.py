@@ -31,6 +31,17 @@ def enable_compile_cache(path: str | None = None) -> str | None:
         return None
     try:
         os.makedirs(path, exist_ok=True)
+        # JAX's persistent-cache backend is a set-once singleton: if a cache
+        # was already initialized at a different dir (e.g. an embedding
+        # process enabled its own), redirecting the config alone is a no-op
+        # and entries keep landing in the old dir. Reset the singleton so
+        # this path actually takes effect.
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass
         jax.config.update("jax_compilation_cache_dir", path)
         # Cache everything that took real compile time; tiny host-side
         # programs are cheaper to rebuild than to hash.
