@@ -32,6 +32,18 @@ def test_fused_matches_xla_interpret():
     assert err.max() <= 2e-2 * max(scale, 1.0), (err.max(), scale)
 
 
+def test_fused_matches_xla_sd_geometry_interpret():
+    """c=320 (the SD UNet's ds=1 FF width): C is 2.5 lane tiles — never
+    blocked, so Mosaic pads; parity must hold exactly like the 128-multiple
+    case (r5 gate relaxation)."""
+    args = _mats(m=1024, c=320, f=1280, dtype=jnp.bfloat16)
+    want = gf._xla_geglu(*[a.astype(jnp.float32) for a in args])
+    got = gf._geglu_ff_fwd(*args, interpret=True)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want))
+    scale = np.abs(np.asarray(want)).max()
+    assert err.max() <= 2e-2 * max(scale, 1.0), (err.max(), scale)
+
+
 def test_gelu_tanh_close_to_erf():
     x = jnp.linspace(-6, 6, 4001, dtype=jnp.float32)
     exact = 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0)))

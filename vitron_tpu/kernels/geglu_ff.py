@@ -81,7 +81,9 @@ def _pick_bm(m: int, c: int = 1024) -> int:
 def _geglu_ff_fwd(x2d, proj_w, proj_b, out_w, out_b, interpret=False):
     m, c = x2d.shape
     f = out_w.shape[0]
-    bm, bf = _pick_bm(m, c), 512
+    # bf=512 when it divides f; 256 covers the SD UNet's f=1280 (5 blocks).
+    # The gate (usable) guarantees one of them divides.
+    bm, bf = _pick_bm(m, c), (512 if f % 512 == 0 else 256)
     nf = f // bf
     grid = (m // bm, nf)
     kernel = functools.partial(_kernel, nf=nf)
@@ -143,6 +145,17 @@ def usable(x, proj_w, out_w) -> bool:
     m = int(np.prod(x.shape[:-1]))
     c, f2 = proj_w.shape
     f = out_w.shape[0]
+    # Measured NEGATIVE at the SD UNet's sites (r5): relaxing the gate to
+    # m>=2048 / c%64 / f%256 (c=320 is legal — every C-carrying BlockSpec
+    # uses the full dim, Mosaic lane-pads it) engaged the kernel at the SD
+    # ds=1 (m=8192, c=320, f=1280, bf=256) and ds=2 (m=2048, c=640) sites
+    # and LOST e2e: 53.2 -> 47.0 CFG steps/s. At c=320 the per-block dots
+    # pad 2.5 lane tiles to 3 (17% waste) and bf=256 halves the dot N-dim,
+    # while the XLA path's weakness there (FF out-proj fusions at ~20%
+    # roofline) costs less than the kernel's weight re-streaming
+    # (m/bm x full-W sweep = 39 MB vs the 2.4 MB resident weights XLA
+    # reads once). The kernel stays gated to the video-UNet-class shapes
+    # it was measured winning on.
     return (m >= 4096 and _pick_bm(m, c) >= 128 and f2 == 2 * f
             and f % 512 == 0 and c % 128 == 0)
 

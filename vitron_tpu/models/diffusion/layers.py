@@ -43,6 +43,18 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     b = x.shape[0]
     c = x.shape[-1]
     n = int(np.prod(x.shape[1:-1])) * (c // groups)
+    if os.environ.get("VITRON_GN_BARRIER") == "1":
+        # Measured NEGATIVE on the SD UNet (r5): the xplane join shows XLA
+        # fusing the stats' x^2 into the producing conv's epilogue and
+        # materializing BOTH x and x^2 as full-size f32 tuple outputs (4x
+        # the bf16 write traffic), with those conv fusions at 65-85% of
+        # roofline vs 87% for plain convs. Forcing one bf16 materialization
+        # here (so stats + normalize re-read it) LOSES e2e anyway: 53.0 ->
+        # 51.2 CFG steps/s. Same physics as the r3/r4 video GN experiments:
+        # the epilogue's extra writes are in-flight behind the MXU, while a
+        # barrier serializes a real extra round-trip. Knob kept so later
+        # hardware can re-measure.
+        x = jax.lax.optimization_barrier(x)
     # Stats routed through kernels/group_norm.py: XLA producer-fused
     # reductions by default (the read-once Pallas pass measured SLOWER
     # e2e — see that module's docstring; VITRON_GN=pallas re-measures).
@@ -104,6 +116,17 @@ def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
+
+
+def upsample2x_nearest(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] -> [B, 2H, 2W, C] nearest: broadcast + reshape.
+
+    jax.image.resize(method="nearest") lowers to gather/select/pad chains
+    that showed up as ~0.4 ms/step of non-MXU time in the SD UNet trace;
+    the broadcast form is two trivially-fusable ops."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:

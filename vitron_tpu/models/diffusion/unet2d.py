@@ -28,6 +28,7 @@ from vitron_tpu.models.diffusion.layers import (
     lin_w,
     spatial_transformer,
     timestep_embedding,
+    upsample2x_nearest,
 )
 
 
@@ -239,7 +240,7 @@ def _run_block(entries, layers, x, emb, context, objs, cfg, gate_scale):
             x = conv2d(x, p["w"], p["b"], stride=2, padding=1)
         elif kind == "up":
             b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+            x = upsample2x_nearest(x)
             x = conv2d(x, p["w"], p["b"], padding=1)
     return x
 

@@ -51,6 +51,7 @@ from vitron_tpu.models.diffusion.layers import (
     layer_norm,
     lin_w,
     timestep_embedding,
+    upsample2x_nearest,
 )
 from vitron_tpu.kernels.quantization import matmul_maybe_quantized as mmq
 from vitron_tpu.models.diffusion.video_unet import temporal_conv_block
@@ -357,7 +358,7 @@ def _run_block(entries, layers, x, emb_bt, ctx_bt):
         elif kind == "up":
             y = fold(x)
             bt, h, w, c = y.shape
-            y = jax.image.resize(y, (bt, h * 2, w * 2, c), method="nearest")
+            y = upsample2x_nearest(y)
             x = unfold(conv2d(y, p["w"], p["b"], padding=1))
     return x
 

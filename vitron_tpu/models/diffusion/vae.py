@@ -14,7 +14,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vitron_tpu.models.diffusion.layers import _np, conv2d, conv_w, group_norm
+from vitron_tpu.models.diffusion.layers import (_np, conv2d, conv_w,
+                                                group_norm,
+                                                upsample2x_nearest)
 
 SD_SCALE_FACTOR = 0.18215
 
@@ -102,7 +104,7 @@ def decode(params: Dict[str, Any], cfg: VAEConfig, z: jax.Array) -> jax.Array:
             h = _resnet(blk, h)
         if "up_w" in level:
             b, hh, ww, c = h.shape
-            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+            h = upsample2x_nearest(h)
             h = conv2d(h, level["up_w"], level["up_b"], padding=1)
     h = group_norm(h, d["out_norm_s"], d["out_norm_b"])
     return conv2d(jax.nn.silu(h), d["conv_out_w"], d["conv_out_b"], padding=1)

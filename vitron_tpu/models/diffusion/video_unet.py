@@ -29,7 +29,9 @@ import numpy as np
 
 from vitron_tpu.kernels.temporal_conv import temporal_conv_k3
 from vitron_tpu.models.diffusion import unet2d
-from vitron_tpu.models.diffusion.layers import conv2d, group_norm, timestep_embedding
+from vitron_tpu.models.diffusion.layers import (conv2d, group_norm,
+                                                timestep_embedding,
+                                                upsample2x_nearest)
 from vitron_tpu.models.diffusion.unet2d import UNetConfig, block_plan
 
 
@@ -198,7 +200,7 @@ def _run_block(entries, layers, t_layers, x, emb, context, cfg, heads):
             bt = b * t
             y = x.reshape((bt,) + x.shape[2:])
             _, h, w, c = y.shape
-            y = jax.image.resize(y, (bt, h * 2, w * 2, c), method="nearest")
+            y = upsample2x_nearest(y)
             y = conv2d(y, p["w"], p["b"], padding=1)
             x = y.reshape((b, t) + y.shape[1:])
     return x
