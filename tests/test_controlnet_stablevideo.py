@@ -10,6 +10,7 @@ from vitron_tpu.models.diffusion.unet2d import UNetConfig
 from vitron_tpu.models.diffusion import unet2d
 
 
+@pytest.mark.nightly
 def test_zero_init_controlnet_is_identity():
     """Freshly-initialized ControlNet residuals are all zero convs ->
     controlled forward == plain forward (the ControlNet training premise)."""
@@ -130,6 +131,7 @@ def test_controlnet_img2img_tiny():
     assert out.dtype == jnp.uint8
 
 
+@pytest.mark.nightly
 def test_dpt_depth_tiny():
     from vitron_tpu.models.diffusion import depth
 

@@ -299,6 +299,7 @@ def test_position_net_with_image_parity():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.nightly
 def test_gligen_style_pipeline_tiny():
     """Text+image grounded generation end-to-end with a with-image
     PositionNet and CLIP vision pooled features."""

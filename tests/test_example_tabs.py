@@ -99,6 +99,7 @@ def test_tab_image_generation(tiny_cfg):
 # ---------------------------------------------------------------- tab 3
 
 
+@pytest.mark.nightly
 def test_tab_image_segmentation(tiny_cfg):
     """app.py:992-1004 + B glue (app.py:114-155): referred segmentation with
     the annotated overlay."""
@@ -226,6 +227,7 @@ def test_tab_video_tracking(tiny_cfg):
 # ---------------------------------------------------------------- tab 8
 
 
+@pytest.mark.nightly
 def test_tab_video_editing(tiny_cfg):
     """app.py:1063-1074 + F glue (app.py:276-313): fore/back instruction
     pair from the bear snowy-forest example."""
@@ -247,6 +249,7 @@ def test_tab_video_editing(tiny_cfg):
 # ---------------------------------------------------------------- tab 9
 
 
+@pytest.mark.nightly
 def test_tab_image_to_video(tiny_cfg):
     """app.py:1075-1089 + G glue (app.py:316-342): i2vgen-style i2v."""
     from vitron_tpu.models.diffusion import (clip_text, unet_sd_video, vae,

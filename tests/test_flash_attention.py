@@ -212,3 +212,17 @@ def test_nonpower_blocks_720_geometry():
                            block_q=bq, block_k=768, interpret=True)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_blocks_policy_1024():
+    """r5: 1024x1024 blocks at the SD 4096-token sites measured 0.593 ms
+    vs 0.984 at 512x512 (4x4 grid amortizes per-block overhead at D=40);
+    the picker prefers them whenever they divide, and keeps the zero-pad
+    divisor rule elsewhere."""
+    from vitron_tpu.models.diffusion.layers import _flash_blocks
+
+    assert _flash_blocks(4096, 4096) == (1024, 1024)
+    assert _flash_blocks(1024, 1024) == (1024, 1024)
+    assert _flash_blocks(2048, 512) == (1024, 512)
+    assert _flash_blocks(720, 720) == (360, 128)   # unchanged video sites
+    assert _flash_blocks(180, 180) == (184, 128)  # padded to 8-multiple

@@ -65,6 +65,7 @@ def test_trainable_selection(tiny):
         assert m == expect, (keys, m)
 
 
+@pytest.mark.nightly
 def test_loss_descends_and_freeze_respected(tiny):
     cfg, params = tiny
     tcfg = gt.GligenTrainConfig(lr=1e-3)
@@ -91,6 +92,7 @@ def test_loss_descends_and_freeze_respected(tiny):
     assert max(train_deltas) > 0.0
 
 
+@pytest.mark.nightly
 def test_grounding_drop_is_whole_null(tiny):
     """p_drop_grounding=1: the grounding input must equal get_null_input's
     all-zeros (text_grounding_tokinzer_input.py:29-44) — loss finite."""

@@ -282,6 +282,7 @@ def test_video_unet_w8a8_quality():
     assert any("qc" in k for k in keys), keys
 
 
+@pytest.mark.nightly
 def test_sd_unet_w8a8_quality():
     """unet2d.quantize_params end-to-end on the tiny SD UNet: the W8A8
     forward tracks the f32 forward within a few percent, grounding

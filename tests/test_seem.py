@@ -451,6 +451,7 @@ def test_audio_group_isolated_from_grounding(tiny_seem):
     assert bool(jnp.isfinite(a_mask).all())
 
 
+@pytest.mark.nightly
 def test_bf16_towers_agree(tiny_seem):
     """compute_dtype="bfloat16" (serving towers) must produce masks that
     threshold-agree with the f32 path on the tiny config."""

@@ -60,6 +60,7 @@ def _jax_cfg(variant):
         num_res_blocks=1, attn_scales=(1.0, 0.5))
 
 
+@pytest.mark.nightly
 def test_t2v_unet_parity():
     ref = load_reference_package_module(
         "modules.i2vgen-xl.tools.modules.unet.unet_t2v")

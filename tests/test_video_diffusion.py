@@ -100,6 +100,7 @@ class _StubTokenizer:
         return {"input_ids": out}
 
 
+@pytest.mark.nightly
 def test_video_unet_forward_shapes():
     cfg = video_unet.VideoUNetConfig.tiny()
     params = video_unet.init_params(jax.random.PRNGKey(0), cfg)

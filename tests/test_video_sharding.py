@@ -48,6 +48,7 @@ def test_sharded_step_matches_dense(tiny):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.nightly
 def test_sharded_step_cfg_only_mesh(tiny):
     """Odd device counts fall back to frames-only sharding."""
     cfg, params = tiny

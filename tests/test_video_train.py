@@ -39,6 +39,7 @@ def _batch(rng, b=2, f=2, h=8, w=8, ctx=1024):
     }
 
 
+@pytest.mark.nightly
 def test_loss_descends(tiny):
     cfg, params, sched = tiny
     tcfg = vt.VideoTrainConfig(lr=1e-3, warmup_steps=2, total_steps=10_000,
@@ -57,6 +58,7 @@ def test_loss_descends(tiny):
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+@pytest.mark.nightly
 def test_ema_matches_reference_lerp_and_lags(tiny):
     """ema.copy_(model.lerp(ema, d)) == (1-d)*model + d*ema, checked over
     several real optimizer steps (train_t2v_enterance.py:258-262); and with
@@ -107,6 +109,7 @@ def test_annealing_lr_parity(mode):
         assert got == pytest.approx(want, rel=1e-6), (mode, s)
 
 
+@pytest.mark.nightly
 def test_cfg_dropout_uses_null_embedding(tiny):
     """p_zero=1 must make the text embedding irrelevant."""
     cfg, params, sched = tiny

@@ -152,17 +152,26 @@ def fourier_embed(x: jax.Array, num_freqs: int = 8, temperature: float = 100.0) 
 
 def _flash_blocks(n: int, m: int) -> tuple:
     """Pick (block_q, block_k) for an n x m attention site. block_q: the
-    largest multiple-of-8 divisor of n up to 512 (zero q padding when one
-    exists — 720 -> 360, 2880 -> 480); block_k: 512 when m divides cleanly,
-    else 128 so the padded final k block wastes < one 128-lane tile
-    (720 -> 768, not 1024)."""
+    largest multiple-of-8 divisor of n up to 1024 (zero q padding when one
+    exists — 720 -> 360, 2880 -> 480); block_k: 1024 > 512 when m divides
+    cleanly, else 128 so the padded final k block wastes < one 128-lane
+    tile (720 -> 768, not 1024).
+
+    1024 blocks: r5 sweep at the SD site ([2,8,4096,40] bf16, non-causal,
+    shift=0, distinct q per call) measured 0.593 ms vs 0.984 at 512x512 —
+    4x4 grid steps instead of 8x8 amortize the per-block DMA + rescale
+    overhead that dominates at D=40. 2048 blocks fail to compile (VMEM).
+    The LLM paths pass explicit blocks and are not affected."""
     # no divisor (e.g. n=180): one q block padded to the next multiple of 8
-    bq = min(512, -(-n // 8) * 8)
-    for d in range(min(512, n), 7, -1):
-        if d % 8 == 0 and n % d == 0:
-            bq = d
-            break
-    bk = 512 if m % 512 == 0 else 128
+    if n % 1024 == 0:
+        bq = 1024
+    else:
+        bq = min(512, -(-n // 8) * 8)
+        for d in range(min(512, n), 7, -1):
+            if d % 8 == 0 and n % d == 0:
+                bq = d
+                break
+    bk = 1024 if m % 1024 == 0 else (512 if m % 512 == 0 else 128)
     return bq, bk
 
 
