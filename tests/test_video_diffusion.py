@@ -111,6 +111,24 @@ def test_video_unet_forward_shapes():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_temporal_attention_nmajor_parity(monkeypatch):
+    """VITRON_TATTN=nmajor (pixel-major frame attention with the transpose
+    hoisted to the temporal-transformer block boundary) is bit-identical to
+    the default frame-major einsum path."""
+    from vitron_tpu.models.diffusion import unet_sd_video as m
+
+    cfg = m.UNetSDVideoConfig.tiny("t2v")
+    p = m.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 8, 8, 4), jnp.float32)
+    y = jnp.asarray(np.random.RandomState(1).randn(1, 3, 1024) * 0.02,
+                    jnp.float32)
+    monkeypatch.delenv("VITRON_TATTN", raising=False)
+    a = m.forward(p, cfg, x, jnp.asarray([7.0]), y=y)
+    monkeypatch.setenv("VITRON_TATTN", "nmajor")
+    b = m.forward(p, cfg, x, jnp.asarray([7.0]), y=y)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
 def test_text2video_tiny():
     from vitron_tpu.models.diffusion import clip_text, unet_sd_video, vae
 

@@ -33,6 +33,7 @@ Faithfully replicated quirks:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -249,26 +250,68 @@ def _temporal_mha(p: Dict[str, Any], x: jax.Array, context: jax.Array,
     return mmq(out, p["out_w"]) + p["out_b"]
 
 
+def _temporal_mha_nmajor(p: Dict[str, Any], x: jax.Array, heads: int) -> jax.Array:
+    """Self-attention over the frame axis on the PIXEL-MAJOR view
+    [B, N, F, C] (VITRON_TATTN=nmajor experiment): the einsum batch dims
+    (b, n) lead the operands, so the frame-attention dots need no interior
+    relayout of the big tensor — the one transpose is hoisted to the
+    temporal_transformer block boundary."""
+    b, n, f, hc = x.shape
+    wq = p["to_q"]
+    d = (wq["q8"] if isinstance(wq, dict) else wq).shape[1] // heads
+    scale = d ** -0.5
+    q = mmq(x, p["to_q"]).reshape(b, n, f, heads, d)
+    k = mmq(x, p["to_k"]).reshape(b, n, f, heads, d)
+    v = mmq(x, p["to_v"]).reshape(b, n, f, heads, d)
+    sim = jnp.einsum("bnfhd,bnghd->bnhfg", q, k).astype(jnp.float32) * scale
+    if v.dtype == jnp.bfloat16:
+        mx = jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        pr = jnp.exp(sim - mx)
+        s = jnp.sum(pr, axis=-1)  # [B, N, H, F] f32
+        out = jnp.einsum("bnhfg,bnghd->bnfhd", pr.astype(jnp.bfloat16), v)
+        out = out.astype(jnp.float32) / jnp.moveaxis(s, 2, 3)[..., None]
+        out = out.astype(v.dtype).reshape(b, n, f, hc)
+        return mmq(out, p["out_w"]) + p["out_b"]
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bnhfg,bnghd->bnfhd", attn, v).reshape(b, n, f, hc)
+    return mmq(out, p["out_w"]) + p["out_b"]
+
+
 def temporal_transformer(p: Dict[str, Any], x: jax.Array, heads: int) -> jax.Array:
     """TemporalTransformer (util.py:992-1089, use_linear=False,
     only_self_att=True): GN -> conv1d proj (= per-frame linear) -> self-attn
     transformer blocks over the frame axis per pixel -> conv1d proj out ->
     residual. x: [B, F, H, W, C]; computed in [B, F, H*W, C] (plain
-    reshape, no transpose) with frame-axis attention via einsum."""
+    reshape, no transpose) with frame-axis attention via einsum.
+
+    VITRON_TATTN=nmajor: hoist ONE [B,F,N,C] -> [B,N,F,C] transpose pair
+    to the block boundary and run every attn + FF pixel-major, instead of
+    letting each frame-attention einsum relayout its operands internally
+    (the r4 trace's "layout copies between dot- and conv-friendly forms")."""
     b, f, h, w, c = x.shape
     x_in = x
     # stats over (F, H, W, C/g); computed as per-frame partials (see
     # layers.group_norm stat_chunks)
     xn = group_norm(x, p["norm_s"], p["norm_b"], stat_chunks=f)
     y = mmq(xn.reshape(b, f, h * w, c), p["proj_in_w"]) + p["proj_in_b"]
-    for blk in p["blocks"]:
-        # BasicTransformerBlock with context_dim=None: attn2 degenerates to
-        # self-attention (util.py:1009,536-540)
-        yn = layer_norm(y, blk["norm1"])
-        y = _temporal_mha(blk["attn1"], yn, yn, heads) + y
-        yn = layer_norm(y, blk["norm2"])
-        y = _temporal_mha(blk["attn2"], yn, yn, heads) + y
-        y = geglu_ff(blk["ff"], layer_norm(y, blk["norm3"])) + y
+    nmajor = os.environ.get("VITRON_TATTN") == "nmajor"
+    if nmajor:
+        y = jnp.swapaxes(y, 1, 2)  # [B, N, F, C]
+        att = _temporal_mha_nmajor
+        for blk in p["blocks"]:
+            y = att(blk["attn1"], layer_norm(y, blk["norm1"]), heads) + y
+            y = att(blk["attn2"], layer_norm(y, blk["norm2"]), heads) + y
+            y = geglu_ff(blk["ff"], layer_norm(y, blk["norm3"])) + y
+        y = jnp.swapaxes(y, 1, 2)  # back to [B, F, N, C]
+    else:
+        for blk in p["blocks"]:
+            # BasicTransformerBlock with context_dim=None: attn2 degenerates
+            # to self-attention (util.py:1009,536-540)
+            yn = layer_norm(y, blk["norm1"])
+            y = _temporal_mha(blk["attn1"], yn, yn, heads) + y
+            yn = layer_norm(y, blk["norm2"])
+            y = _temporal_mha(blk["attn2"], yn, yn, heads) + y
+            y = geglu_ff(blk["ff"], layer_norm(y, blk["norm3"])) + y
     y = mmq(y, p["proj_out_w"]) + p["proj_out_b"]
     return y.reshape(b, f, h, w, c) + x_in
 
