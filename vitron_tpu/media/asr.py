@@ -21,24 +21,53 @@ import numpy as np
 WHISPER_SR = 16000
 
 
+def _load_wav_stdlib(path: str):
+    """PCM WAV via the stdlib (no soundfile/ffmpeg needed): the format the
+    browser fallback recorder and the test fixtures produce."""
+    import wave
+
+    with wave.open(path, "rb") as f:
+        n, ch, width, file_sr = (f.getnframes(), f.getnchannels(),
+                                 f.getsampwidth(), f.getframerate())
+        raw = f.readframes(n)
+    if width == 2:
+        wav = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        wav = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:  # unsigned 8-bit
+        wav = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        wav = wav.reshape(-1, ch).mean(axis=1)
+    return wav, file_sr
+
+
 def load_audio(path: str, sr: int = WHISPER_SR) -> np.ndarray:
-    """Decode an audio file to mono float32 at `sr` Hz (host side)."""
+    """Decode an audio file to mono float32 at `sr` Hz (host side).
+
+    Decode order: stdlib `wave` for PCM WAV (always available), then
+    soundfile, then ffmpeg — so a dependency-light host can still serve
+    WAV uploads (r5: this CI image has neither soundfile nor ffmpeg)."""
     try:
-        import soundfile as sf
-
-        data, file_sr = sf.read(path, dtype="float32", always_2d=True)
-        wav = data.mean(axis=1)
+        wav, file_sr = _load_wav_stdlib(path)
     except Exception:
-        # fall back to ffmpeg (same dependency whisper itself uses) — on
-        # soundfile missing OR failing to decode the container (e.g. mp3 on
-        # libsndfile builds without mp3 support raises LibsndfileError)
-        import subprocess
+        try:
+            import soundfile as sf
 
-        out = subprocess.run(
-            ["ffmpeg", "-nostdin", "-i", path, "-f", "f32le", "-ac", "1",
-             "-ar", str(sr), "-"],
-            capture_output=True, check=True)
-        return np.frombuffer(out.stdout, np.float32)
+            data, file_sr = sf.read(path, dtype="float32", always_2d=True)
+            wav = data.mean(axis=1)
+        except Exception:
+            # fall back to ffmpeg (same dependency whisper itself uses) — on
+            # soundfile missing OR failing to decode the container (e.g. mp3
+            # on libsndfile builds without mp3 support)
+            import subprocess
+
+            out = subprocess.run(
+                ["ffmpeg", "-nostdin", "-i", path, "-f", "f32le", "-ac", "1",
+                 "-ar", str(sr), "-"],
+                capture_output=True, check=True)
+            return np.frombuffer(out.stdout, np.float32)
     if file_sr != sr:
         # linear resample on the host; plenty for 16 kHz speech
         n = int(round(len(wav) * sr / file_sr))
