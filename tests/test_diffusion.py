@@ -481,3 +481,15 @@ def test_quantize_params_idempotent():
     qv2 = usv.quantize_params(qv1, min_channels=8, min_dot_dim=8,
                               min_tconv_dim=8)
     chex.assert_trees_all_equal(qv1, qv2)
+
+
+def test_upsample2x_nearest_matches_resize():
+    """layers.upsample2x_nearest (broadcast+reshape) == jax.image.resize
+    nearest at exact 2x — the torch nn.Upsample(scale_factor=2) semantics
+    every UNet/VAE up block uses."""
+    from vitron_tpu.models.diffusion.layers import upsample2x_nearest
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 7, 3), jnp.float32)
+    want = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
+    got = upsample2x_nearest(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
