@@ -349,3 +349,49 @@ def test_speculative_rejects_batch(tiny_setup):
     arrays, _ = _plan(rows)
     with pytest.raises(ValueError, match="single-stream"):
         speculative_decode(params, cfg, arrays, 8)
+
+
+def test_zero_emission_segment_falls_back_plain(tiny_setup, monkeypatch):
+    """Defensive r5 hardening: a segment that emits 0 tokens WITHOUT the
+    device done flag (observed once as a long-suite CPU flake) must not
+    truncate the generation — the Generator finishes the budget as plain
+    chunked decode on the exact cache frontier."""
+    from vitron_tpu.runtime.generation import Generator, SamplingConfig
+
+    monkeypatch.setenv("VITRON_SPEC_TPF_MIN", "0")
+    cfg, params = tiny_setup
+    gen = Generator(params, cfg)
+    plan, *_ = prepare_batch([[1, 5, 9, 7, 5, 9, 3]], [], pad_to=64,
+                             image_len=16)
+    s = SamplingConfig(greedy=True, max_new_tokens=40, eos_ids=())
+    ref = gen.generate(plan, sampling=s, speculative=False, decode_chunk=16)
+
+    real = gen._get_spec_seg_fns
+
+    calls = {"n": 0}
+
+    def patched(*a, **kw):
+        init_fn, seg_fn = real(*a, **kw)
+
+        def bad_seg(params, state, limit):
+            calls["n"] += 1
+            if calls["n"] == 1:  # poison the FIRST segment
+                # fabricate the zero-emission return WITHOUT calling the
+                # real (donating) seg_fn, so `state` stays alive
+                import jax.numpy as _jnp
+
+                seg = 40  # min(64, max_new_tokens)
+                return (_jnp.full((seg,), -1, _jnp.int32), _jnp.int32(0),
+                        _jnp.int32(0), state)
+            return seg_fn(params, state, limit)
+
+        return init_fn, bad_seg
+
+    monkeypatch.setattr(gen, "_get_spec_seg_fns", patched)
+    from vitron_tpu.mm.tokenization import KeywordStopper
+
+    stopper = KeywordStopper(["no-such-stop-string"], _IdTok(), prompt_len=0)
+    out = gen.generate(plan, sampling=s, speculative=True,
+                       stopper=stopper, decode_chunk=16)
+    assert out == ref, (out, ref)
+    assert gen.last_spec_stats["fell_back"] is True

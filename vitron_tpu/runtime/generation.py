@@ -207,7 +207,15 @@ class Generator:
             toks_host = np.asarray(toks)
             n, forwards = int(out_n), forwards + int(steps)
             if n == 0:
-                break  # device done flag (EOS mid-previous-segment)
+                if bool(np.asarray(state[8])):
+                    break  # device done flag (EOS mid-previous-segment)
+                # Defensive: a zero-emission segment WITHOUT the done flag
+                # would silently truncate the generation (observed once as
+                # a long-suite CPU flake, r5). The cache frontier in state
+                # is exact, so finish the budget as plain chunked decode —
+                # correct output, at worst a perf blip.
+                fell_back = True
+                break
             for t in toks_host[:n]:
                 row.append(int(t))
                 if (int(t) in sampling.eos_ids
